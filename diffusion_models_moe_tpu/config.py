@@ -1,0 +1,140 @@
+"""Typed model/pipeline configuration.
+
+Replaces the reference's YAML+attr `Config` (reference: utils.py:153-227) with frozen
+dataclasses. Presets mirror the models the reference's factory loads
+(reference: utils.py:64-138): SD v1.x UNet/CLIP/VAE shapes, plus a tiny config for tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD-style UNet2DCondition configuration.
+
+    `down_block_types` / `up_block_types` entries are "cross" (resnets + transformer
+    blocks) or "plain" (resnets only), mirroring diffusers' CrossAttnDownBlock2D /
+    DownBlock2D split for SD1.x.
+    """
+    sample_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    down_block_types: Sequence[str] = ("cross", "cross", "cross", "plain")
+    up_block_types: Sequence[str] = ("plain", "cross", "cross", "cross")
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_head_dim: int = 8          # number of heads for SD1.x
+    norm_num_groups: int = 32
+    ff_mult: int = 4
+    ff_activation: str = "geglu"         # "geglu" | "geglu-relu" (ReLUfied) | "gelu"
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    dtype: Any = jnp.float32             # compute dtype
+
+    @property
+    def n_ff_layers(self) -> int:
+        """Number of GEGLU FF layers (16 for SD1.x; reference: moefication/helper.py:6-19)."""
+        n = 0
+        for kind in self.down_block_types:
+            if kind == "cross":
+                n += self.layers_per_block
+        n += 1  # mid block
+        for kind in self.up_block_types:
+            if kind == "cross":
+                n += self.layers_per_block + 1
+        return n
+
+    def ff_dims(self) -> list[int]:
+        """Model dim of each GEGLU FF layer in canonical (execution) order.
+
+        Canonical order = down blocks outer→inner, mid, up blocks inner→outer.
+        The reference orders layers by alphabetical module name
+        (reference: moefication/helper.py:76-77) which for SD1.x yields the same
+        down(0-5), mid(6), up(7-15) order.
+        """
+        dims = []
+        for i, kind in enumerate(self.down_block_types):
+            if kind == "cross":
+                dims += [self.block_out_channels[i]] * self.layers_per_block
+        dims.append(self.block_out_channels[-1])  # mid
+        rev = list(reversed(self.block_out_channels))
+        for i, kind in enumerate(self.up_block_types):
+            if kind == "cross":
+                dims += [rev[i]] * (self.layers_per_block + 1)
+        return dims
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+    dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+    dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    unet: UNetConfig = UNetConfig()
+    text_encoder: CLIPTextConfig = CLIPTextConfig()
+    vae: VAEConfig = VAEConfig()
+    sample_size: int = 64                # latent spatial size (64 → 512px images)
+    guidance_scale: float = 7.5
+    num_inference_steps: int = 50
+    scheduler: str = "pndm"              # "ddim" | "pndm" | "euler" | "dpm" | "lcm"
+    # NSFW handling: the reference monkey-patches the safety checker off by default
+    # (reference: neuron_receivers/base_receiver.py:7-8,20-23). Here safety filtering is
+    # an explicit opt-in flag; `blur_nsfw` reproduces the blur-if-nsfw output policy
+    # (reference: modularity/remove_experts.py:17-22).
+    safety_check: bool = False
+    blur_nsfw: bool = False
+
+
+def sd15_config(dtype=jnp.bfloat16, relufied: bool = False) -> PipelineConfig:
+    """Stable Diffusion v1.4/1.5 geometry (reference: utils.py:64-138)."""
+    return PipelineConfig(
+        unet=UNetConfig(dtype=dtype,
+                        ff_activation="geglu-relu" if relufied else "geglu"),
+        text_encoder=CLIPTextConfig(dtype=dtype),
+        vae=VAEConfig(dtype=dtype),
+    )
+
+
+def tiny_config(dtype=jnp.float32) -> PipelineConfig:
+    """Tiny model for unit tests: same topology (16 FF layers), small dims."""
+    return PipelineConfig(
+        unet=UNetConfig(
+            block_out_channels=(32, 64, 128, 128),
+            cross_attention_dim=32,
+            attention_head_dim=4,
+            norm_num_groups=8,
+            dtype=dtype,
+        ),
+        text_encoder=CLIPTextConfig(
+            vocab_size=1000, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, max_length=16, dtype=dtype,
+        ),
+        vae=VAEConfig(block_out_channels=(32, 32, 64, 64), norm_num_groups=8,
+                      layers_per_block=1, dtype=dtype),
+        sample_size=8,
+        num_inference_steps=4,
+    )

@@ -1,0 +1,235 @@
+"""Transformer blocks with tappable GEGLU feed-forwards.
+
+The FF layer here is the framework's load-bearing surface: all MoE routing, skill
+attribution and erasure in the reference happen inside forward hooks on diffusers'
+GEGLU modules (reference: neuron_receivers/base_receiver.py:40-77). Here the same
+observation/intervention points are first-class functional arguments, so the whole
+denoise loop stays inside one XLA trace.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_moe_tpu.taps import (LayerIntervention, TapSpec,
+                                           routing_mask)
+
+
+class Attention(nn.Module):
+    """Multi-head (self or cross) attention; uses XLA-fused SDPA."""
+    query_dim: int
+    heads: int = 8
+    context_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        head_dim = self.query_dim // self.heads
+        q = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim)
+
+        out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        out = out.reshape(x.shape[0], x.shape[1], self.query_dim)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU (or GELU) FF with functional taps and interventions.
+
+    Forward math matches diffusers' FeedForward(GEGLU): `proj` produces 2H features,
+    split into (hidden, gate); gate is activated; output = W2 @ (hidden * gate)
+    (reference routing math: neuron_receivers/moefy.py:10-27). `activation`:
+      geglu       exact GELU gate (SD1.x default)
+      geglu-relu  ReLUfied gate (reference: sparsity/relufy_model.py:28-40)
+      gelu        non-gated GELU FF (PixArt path; reference: utils.py:119-127)
+    """
+    dim: int
+    mult: int = 4
+    activation: str = "geglu"
+    ff_index: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, step_idx=None,
+                 tap: Optional[TapSpec] = None,
+                 iv: Optional[LayerIntervention] = None):
+        hidden_dim = self.dim * self.mult
+        gated = self.activation in ("geglu", "geglu-relu")
+        t = 0 if step_idx is None else step_idx
+
+        if gated:
+            hg = nn.Dense(2 * hidden_dim, dtype=self.dtype, name="proj")(x)
+            hidden, gate = jnp.split(hg, 2, axis=-1)
+            if self.activation == "geglu-relu":
+                gate = jax.nn.relu(gate)
+            else:
+                gate = jax.nn.gelu(gate, approximate=False)
+        else:
+            hidden = None
+            gate = nn.Dense(hidden_dim, dtype=self.dtype, name="proj")(x)
+            gate = jax.nn.gelu(gate, approximate=False)
+
+        if tap is not None and tap.any_gate_stat():
+            self._sow_gate_stats(gate, tap, iv)
+
+        # --- interventions on the activated gate ---------------------------------
+        if iv is not None and iv.neuron_mask is not None:
+            # RemoveNeurons: overwrite skilled neurons with the fill value
+            # (reference: neuron_receivers/remove_skilled_neurons.py:36-51).
+            m = iv.neuron_mask[t]                      # (H,) bool
+            gate = jnp.where(m[None, None, :],
+                             jnp.asarray(iv.neuron_fill, gate.dtype), gate)
+
+        if iv is not None and iv.patterns is not None and iv.k > 0:
+            patterns = iv.patterns
+            if iv.expert_remove is not None:
+                # RemoveExperts zeroes skilled experts' pattern rows before routing
+                # (reference: neuron_receivers/remove_skilled_experts.py:30-37).
+                rm = iv.expert_remove[t].astype(patterns.dtype)  # (E,)
+                patterns = patterns * (1.0 - rm)[:, None]
+            boost = None
+            if iv.expert_boost is not None:
+                boost = iv.expert_boost[t]
+            g2 = gate.reshape(-1, hidden_dim)
+            mask2d, sel = routing_mask(g2, patterns, iv.k, expert_boost=boost)
+            gate = gate * mask2d.reshape(gate.shape)
+            if tap is not None and tap.any_expert_stat():
+                self._sow_expert_stats(g2, sel, gate.shape, tap, iv)
+        elif tap is not None and tap.any_expert_stat() and iv is not None \
+                and iv.patterns is not None:
+            # Expert stats without masking (ExpertPredictivity / GetExperts on an
+            # un-intervened run): compute scores/selection, leave the gate untouched.
+            g2 = gate.reshape(-1, hidden_dim)
+            k = iv.k if iv.k > 0 else 1
+            mask2d, sel = routing_mask(g2, iv.patterns, k)
+            self._sow_expert_stats(g2, sel, gate.shape, tap, iv)
+
+        y = hidden * gate if gated else gate
+
+        if tap is not None and tap.ff_out_colnorm_sq:
+            # Wanda stat: column norms of the row-normalized input to W2
+            # (reference: neuron_receivers/wanda_receiver.py:46-56). Sow the squared
+            # column sums so accumulation over steps/prompts is additive.
+            y2 = y.reshape(-1, hidden_dim).astype(jnp.float32)
+            y2 = y2 / jnp.maximum(
+                jnp.linalg.norm(y2, axis=-1, keepdims=True), 1e-12)
+            self.sow("taps", f"ff_out_colnorm_sq_{self.ff_index:02d}",
+                     jnp.sum(y2 * y2, axis=0))
+
+        kernel = self.param(
+            "out_proj_kernel",
+            nn.initializers.lecun_normal(), (hidden_dim, self.dim), jnp.float32)
+        bias = self.param("out_proj_bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        if iv is not None and iv.out_weight_mask is not None:
+            # Wanda erasure: zero selected entries of the output projection
+            # (reference: neuron_receivers/remove_wanda_neurons_fast.py:69-83).
+            wm = iv.out_weight_mask
+            wm = wm[t] if wm.ndim == 3 else wm      # (H, D)
+            kernel = kernel * (1.0 - wm.astype(kernel.dtype))
+        return y @ kernel + bias.astype(self.dtype)
+
+    def _sow_gate_stats(self, gate, tap: TapSpec, iv):
+        g = gate.reshape(-1, gate.shape[-1]).astype(jnp.float32)
+        if iv is not None and iv.token_mask is not None:
+            # Restrict stats to bounding-box tokens: replicate mask across batch
+            # (reference: neuron_receivers/neuron_predictivity_bb.py:43-63).
+            tm = jnp.tile(iv.token_mask, gate.shape[0]).astype(jnp.float32)[:, None]
+        else:
+            tm = None
+        if tap.max_gate:
+            gm = g if tm is None else jnp.where(tm > 0, g, -jnp.inf)
+            self.sow("taps", f"max_gate_{self.ff_index:02d}", jnp.max(gm, axis=0))
+        if tap.mean_gate:
+            if tm is None:
+                self.sow("taps", f"mean_gate_{self.ff_index:02d}", jnp.mean(g, axis=0))
+            else:
+                self.sow("taps", f"mean_gate_{self.ff_index:02d}",
+                         jnp.sum(g * tm, axis=0) / jnp.maximum(jnp.sum(tm), 1.0))
+        if tap.gate_sparsity:
+            self.sow("taps", f"gate_sparsity_{self.ff_index:02d}",
+                     jnp.mean((g == 0.0).astype(jnp.float32)))
+        if tap.save_gate:
+            self.sow("taps", f"save_gate_{self.ff_index:02d}", gate)
+
+    def _sow_expert_stats(self, g2, sel, gate_shape, tap: TapSpec, iv):
+        if tap.expert_scores_max:
+            score = jax.lax.dot_general(
+                g2, iv.patterns, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            self.sow("taps", f"expert_scores_max_{self.ff_index:02d}",
+                     jnp.max(score, axis=0))
+        if tap.expert_freq:
+            # Batch element 0 only, weight 1/seq_len
+            # (reference: neuron_receivers/frequency_measure.py:53-60).
+            bsz, seq_len = gate_shape[0], gate_shape[1]
+            sel_b = sel.reshape(bsz, seq_len, -1)
+            self.sow("taps", f"expert_freq_{self.ff_index:02d}",
+                     jnp.sum(sel_b[0], axis=0) / seq_len)
+        if tap.expert_sel:
+            self.sow("taps", f"expert_sel_{self.ff_index:02d}", jnp.sum(sel, axis=0))
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, residual each."""
+    dim: int
+    heads: int
+    context_dim: int
+    ff_index: int
+    ff_mult: int = 4
+    ff_activation: str = "geglu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
+                          dtype=self.dtype, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
+                                 ff_index=self.ff_index, dtype=self.dtype,
+                                 name="ff")(h, step_idx=step_idx, tap=tap, iv=iv)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> proj_in -> blocks -> proj_out + residual."""
+    dim: int
+    heads: int
+    context_dim: int
+    ff_index: int
+    norm_num_groups: int = 32
+    ff_mult: int = 4
+    ff_activation: str = "geglu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, step_idx=None, tap=None, ivs=None):
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(y)
+        y = y.reshape(b, h * w, self.dim)
+        iv = None
+        if ivs is not None and ivs[self.ff_index] is not None:
+            iv = ivs[self.ff_index]
+        y = BasicTransformerBlock(
+            self.dim, self.heads, self.context_dim, ff_index=self.ff_index,
+            ff_mult=self.ff_mult, ff_activation=self.ff_activation,
+            dtype=self.dtype, name="transformer_blocks_0",
+        )(y, context, step_idx=step_idx, tap=tap, iv=iv)
+        y = y.reshape(b, h, w, self.dim)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(y)
+        return y + residual

@@ -1,0 +1,97 @@
+"""Basic UNet/VAE building blocks (Flax).
+
+Re-implements the diffusers layer semantics the reference pipeline depends on
+(reference L0: HuggingFace diffusers, not in-repo; see SURVEY.md §1) with NHWC layouts,
+which XLA maps onto TPU conv units without transposes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding, matching diffusers `get_timestep_embedding`."""
+    timesteps = jnp.atleast_1d(timesteps).astype(jnp.float32)
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """MLP on top of the sinusoidal embedding: Linear -> SiLU -> Linear."""
+    emb_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.emb_dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.emb_dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> SiLU -> Conv -> (+time) -> GN -> SiLU -> Conv with skip."""
+    out_channels: int
+    norm_num_groups: int = 32
+    eps: float = 1e-5
+    use_time_emb: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jax.Array] = None):
+        residual = x
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
+                         dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
+                         dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               name="conv_shortcut")(residual)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name="conv")(x)

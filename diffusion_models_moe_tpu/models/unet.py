@@ -1,0 +1,111 @@
+"""UNet2DCondition (SD1.x geometry) in Flax, with tappable GEGLU FF layers.
+
+Replaces the reference's L0 dependency on diffusers' UNet2DConditionModel
+(reference: utils.py:64-138 loads it; SURVEY.md §1). Layouts are NHWC. The 16 GEGLU
+FF layers are numbered in execution order down(0-5), mid(6), up(7-15), which matches
+the reference's alphabetical module-name ordering for SD1.x
+(reference: moefication/helper.py:76-77).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_moe_tpu.config import UNetConfig
+from diffusion_models_moe_tpu.models.attention import Transformer2D
+from diffusion_models_moe_tpu.models.layers import (Downsample2D, ResnetBlock2D,
+                                                    TimestepEmbedding,
+                                                    Upsample2D,
+                                                    timestep_embedding)
+from diffusion_models_moe_tpu.taps import Interventions, TapSpec
+
+
+class UNet2DCondition(nn.Module):
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, sample: jax.Array, timestep: jax.Array,
+                 encoder_hidden_states: jax.Array, *,
+                 step_idx: Optional[jax.Array] = None,
+                 tap: Optional[TapSpec] = None,
+                 ivs: Optional[Interventions] = None) -> jax.Array:
+        """sample: (B, H, W, C) latents; timestep: scalar or (B,);
+        encoder_hidden_states: (B, S, D_text). Returns predicted noise (B, H, W, C).
+        """
+        cfg = self.cfg
+        dt = cfg.dtype
+        channels = list(cfg.block_out_channels)
+        heads = cfg.attention_head_dim
+
+        # --- time embedding ---------------------------------------------------
+        temb = timestep_embedding(
+            jnp.broadcast_to(jnp.atleast_1d(timestep), (sample.shape[0],)),
+            channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+        temb = TimestepEmbedding(channels[0] * 4, dtype=dt,
+                                 name="time_embedding")(temb.astype(dt))
+
+        context = encoder_hidden_states.astype(dt)
+        sample = sample.astype(dt)
+
+        def make_transformer(dim, ff_index, name):
+            return Transformer2D(
+                dim=dim, heads=heads, context_dim=cfg.cross_attention_dim,
+                ff_index=ff_index, norm_num_groups=cfg.norm_num_groups,
+                ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
+                dtype=dt, name=name)
+
+        tkw = dict(step_idx=step_idx, tap=tap, ivs=ivs)
+        ff_index = 0
+
+        # --- down path ----------------------------------------------------------
+        h = nn.Conv(channels[0], (3, 3), padding=1, dtype=dt, name="conv_in")(sample)
+        res_stack = [h]
+        for i, kind in enumerate(cfg.down_block_types):
+            out_ch = channels[i]
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dt,
+                                  name=f"down_{i}_res_{j}")(h, temb)
+                if kind == "cross":
+                    h = make_transformer(out_ch, ff_index,
+                                         f"down_{i}_attn_{j}")(h, context, **tkw)
+                    ff_index += 1
+                res_stack.append(h)
+            if i < len(cfg.down_block_types) - 1:
+                h = Downsample2D(out_ch, dtype=dt, name=f"down_{i}_downsample")(h)
+                res_stack.append(h)
+
+        # --- mid ------------------------------------------------------------------
+        mid_ch = channels[-1]
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dt,
+                          name="mid_res_0")(h, temb)
+        h = make_transformer(mid_ch, ff_index, "mid_attn_0")(h, context, **tkw)
+        ff_index += 1
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dt,
+                          name="mid_res_1")(h, temb)
+
+        # --- up path ----------------------------------------------------------------
+        rev_channels = list(reversed(channels))
+        for i, kind in enumerate(cfg.up_block_types):
+            out_ch = rev_channels[i]
+            for j in range(cfg.layers_per_block + 1):
+                res = res_stack.pop()
+                h = jnp.concatenate([h, res], axis=-1)
+                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dt,
+                                  name=f"up_{i}_res_{j}")(h, temb)
+                if kind == "cross":
+                    h = make_transformer(out_ch, ff_index,
+                                         f"up_{i}_attn_{j}")(h, context, **tkw)
+                    ff_index += 1
+            if i < len(cfg.up_block_types) - 1:
+                h = Upsample2D(out_ch, dtype=dt, name=f"up_{i}_upsample")(h)
+
+        # --- out -----------------------------------------------------------------
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         dtype=jnp.float32, name="conv_norm_out")(h)
+        h = nn.silu(h).astype(dt)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt,
+                    name="conv_out")(h)
+        return h.astype(jnp.float32)

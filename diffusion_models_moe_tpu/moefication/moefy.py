@@ -1,0 +1,105 @@
+"""MoEfication driver: cluster every GEGLU FF gate matrix into experts and build
+routing interventions.
+
+Mirrors the reference flow `moefy_sd_model.py` -> `param_split/<ffn_name>` artifacts ->
+`modify_ffn_to_experts` (reference: moefication/moefy_sd_model.py:19-43,
+moefication/helper.py:65-78), with labels stored as one `.npz` and the runtime
+`patterns` built on the fly from labels.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from diffusion_models_moe_tpu.config import UNetConfig
+from diffusion_models_moe_tpu.moefication.cluster import (balanced_kmeans,
+                                                          random_split_labels)
+from diffusion_models_moe_tpu.taps import (LayerIntervention, Interventions,
+                                           layer_name, patterns_from_labels)
+
+# Canonical FF module param paths inside the UNet param tree, execution order.
+_FF_PARAM_TEMPLATES = None
+
+
+def ff_param_paths(cfg: UNetConfig) -> list[tuple[str, ...]]:
+    """Param-tree paths of each FF's `proj` Dense, canonical order (SD1.x: 16)."""
+    paths = []
+    for i, kind in enumerate(cfg.down_block_types):
+        if kind == "cross":
+            for j in range(cfg.layers_per_block):
+                paths.append((f"down_{i}_attn_{j}",))
+    paths.append(("mid_attn_0",))
+    for i, kind in enumerate(cfg.up_block_types):
+        if kind == "cross":
+            for j in range(cfg.layers_per_block + 1):
+                paths.append((f"up_{i}_attn_{j}",))
+    return [p + ("transformer_blocks_0", "ff") for p in paths]
+
+
+def gate_weights(unet_params: dict, cfg: UNetConfig) -> list[np.ndarray]:
+    """Per-layer gate halves of the FF up-projection, rows = neurons.
+
+    The reference clusters rows [H:2H] of diffusers' `proj.weight` (out, in) layout
+    (reference: moefication/moe_utils.py:66-78). Flax kernels are (in, out), so the
+    gate half is columns [H:2H], transposed to (H, in).
+    """
+    out = []
+    for path in ff_param_paths(cfg):
+        node = unet_params
+        for k in path:
+            node = node[k]
+        kernel = np.asarray(node["proj"]["kernel"])   # (D, 2H)
+        h = kernel.shape[1] // 2
+        out.append(kernel[:, h:].T.copy())            # (H, D)
+    return out
+
+
+def moefy_unet(unet_params: dict, cfg: UNetConfig, expert_size: int = 20,
+               method: str = "sinkhorn", seed: int = 0,
+               save_path: Optional[str] = None,
+               random_split: bool = False) -> dict[str, np.ndarray]:
+    """Cluster all FF layers; returns {layer_name: labels (H,)} and optionally saves
+    one `param_split.npz` artifact (reference artifact: param_split/<ffn_name>)."""
+    labels = {}
+    for idx, w in enumerate(gate_weights(unet_params, cfg)):
+        h = w.shape[0]
+        n_experts = h // expert_size
+        if random_split:
+            lab = random_split_labels(h, expert_size)
+        else:
+            lab = balanced_kmeans(w, n_experts, seed=seed, method=method)
+        labels[layer_name(idx)] = lab
+    if save_path is not None:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        np.savez(save_path, **{k: v for k, v in labels.items()})
+    return labels
+
+
+def load_labels(path: str) -> dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def build_moe_interventions(labels: dict[str, np.ndarray], topk_ratio: float,
+                            n_layers: int = 16,
+                            expert_remove: Optional[dict] = None,
+                            expert_boost: Optional[dict] = None
+                            ) -> Interventions:
+    """labels -> per-layer routing interventions with k = int(E * topk_ratio)
+    (reference: moefication/helper.py:48-62 attaches `patterns` and `k`)."""
+    ivs = []
+    for idx in range(n_layers):
+        name = layer_name(idx)
+        if name not in labels:
+            ivs.append(None)
+            continue
+        lab = np.asarray(labels[name])
+        n_experts = int(lab.max()) + 1
+        k = max(int(n_experts * topk_ratio), 1)
+        ivs.append(LayerIntervention(
+            patterns=patterns_from_labels(lab, n_experts), k=k,
+            expert_remove=None if expert_remove is None else expert_remove.get(name),
+            expert_boost=None if expert_boost is None else expert_boost.get(name)))
+    return tuple(ivs)

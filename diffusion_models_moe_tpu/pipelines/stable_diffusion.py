@@ -1,0 +1,207 @@
+"""Text-to-image Stable Diffusion pipeline as one traced scan.
+
+Architecture inversion vs the reference (SURVEY.md §7): the reference wraps an opaque
+diffusers pipeline with stateful forward hooks and implicit (timestep, layer) counters
+(reference: neuron_receivers/base_receiver.py:40-77, predictivity.py:25-39). Here the
+denoise loop is a pure `lax.scan`; tap statistics come back as `(T, ...)` arrays in a
+pytree, and interventions go in as arrays indexed by the scan counter. One jit, zero
+host syncs in the loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_models_moe_tpu.config import PipelineConfig
+from diffusion_models_moe_tpu.models.clip_text import CLIPTextEncoder
+from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+from diffusion_models_moe_tpu.models.vae import VAEDecoder
+from diffusion_models_moe_tpu.schedulers.ddim import DDIMScheduler
+from diffusion_models_moe_tpu.schedulers.euler import EulerDiscreteScheduler
+from diffusion_models_moe_tpu.schedulers.pndm import PNDMScheduler
+from diffusion_models_moe_tpu.taps import Interventions, TapSpec
+
+SCHEDULERS = {
+    "ddim": DDIMScheduler,
+    "pndm": PNDMScheduler,
+    "euler": EulerDiscreteScheduler,
+}
+
+
+def flatten_taps(tree: dict) -> dict[str, dict[int, Any]]:
+    """Flax 'taps' collection -> {stat_name: {ff_layer_index: array}}.
+
+    Sown leaf names are f"{stat}_{index:02d}" (see models/attention.py); sow wraps
+    each value in a 1-tuple.
+    """
+    out: dict[str, dict[int, Any]] = {}
+
+    def walk(node):
+        for key, val in node.items():
+            if isinstance(val, dict):
+                walk(val)
+            else:
+                stat, idx = key.rsplit("_", 1)
+                arr = val[0] if isinstance(val, (tuple, list)) else val
+                out.setdefault(stat, {})[int(idx)] = arr
+
+    walk(tree)
+    return out
+
+
+class StableDiffusionPipeline:
+    """Bundles the three Flax modules + a scheduler; all compute paths are pure."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.unet = UNet2DCondition(config.unet)
+        self.text_encoder = CLIPTextEncoder(config.text_encoder)
+        self.vae_decoder = VAEDecoder(config.vae)
+        self.scheduler = SCHEDULERS[config.scheduler].create()
+
+    # ------------------------------------------------------------------ params
+    def init_params(self, key: jax.Array) -> dict:
+        cfg = self.config
+        k1, k2, k3 = jax.random.split(key, 3)
+        s = cfg.sample_size
+        lat = jnp.zeros((1, s, s, cfg.unet.sample_channels), jnp.float32)
+        ids = jnp.zeros((1, cfg.text_encoder.max_length), jnp.int32)
+        ctx = jnp.zeros((1, cfg.text_encoder.max_length,
+                         cfg.unet.cross_attention_dim), jnp.float32)
+        return {
+            "unet": self.unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx)["params"],
+            "text_encoder": self.text_encoder.init(k2, ids)["params"],
+            "vae": self.vae_decoder.init(k3, lat)["params"],
+        }
+
+    # ------------------------------------------------------------------ text
+    def encode_text(self, params, input_ids, tap: Optional[TapSpec] = None,
+                    text_ivs: Optional[Interventions] = None):
+        if tap is not None and tap.ff_out_colnorm_sq:
+            emb, taps = self.text_encoder.apply(
+                {"params": params["text_encoder"]}, input_ids,
+                tap=tap, ivs=text_ivs, mutable=["taps"])
+            return emb, flatten_taps(taps["taps"])
+        emb = self.text_encoder.apply({"params": params["text_encoder"]},
+                                      input_ids, ivs=text_ivs)
+        return emb, None
+
+    # ------------------------------------------------------------------ core
+    def denoise(self, params, context, latents, num_steps: int,
+                guidance_scale: float, tap: Optional[TapSpec] = None,
+                ivs: Optional[Interventions] = None):
+        """Scanned CFG denoise. context: (2B, S, D) with uncond first
+        (diffusers convention); latents: (B, h, w, c) ~ N(0,1) pre-scaled.
+        Returns (final latents, taps pytree with (T,...) leaves or None)."""
+        timesteps, coeffs, state = self._setup_scheduler(num_steps, latents.shape)
+        do_cfg = guidance_scale > 1.0
+        collect = tap is not None and any(
+            getattr(tap, f.name) for f in tap.__dataclass_fields__.values())
+
+        def body(carry, i):
+            lat, sched_state = carry
+            lat_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+            lat_in = self.scheduler.scale_model_input(coeffs, i, lat_in)
+            t = timesteps[i]
+            if collect:
+                eps, tap_tree = self.unet.apply(
+                    {"params": params["unet"]}, lat_in, t, context,
+                    step_idx=i, tap=tap, ivs=ivs, mutable=["taps"])
+                ys = flatten_taps(tap_tree["taps"])
+            else:
+                eps = self.unet.apply({"params": params["unet"]}, lat_in, t,
+                                      context, step_idx=i, ivs=ivs)
+                ys = 0
+            if do_cfg:
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            sched_state, lat = self.scheduler.step(sched_state, coeffs, eps, i, lat)
+            return (lat, sched_state), ys
+
+        (latents, _), taps = jax.lax.scan(
+            body, (latents, state), jnp.arange(timesteps.shape[0]))
+        return latents, (taps if collect else None)
+
+    def _setup_scheduler(self, num_steps: int, sample_shape):
+        out = self.scheduler.set_timesteps(num_steps)
+        timesteps, coeffs, state = out
+        if state is None:  # PNDM carries multistep history
+            state = self.scheduler.init_state(sample_shape)
+        return timesteps, coeffs, state
+
+    # ------------------------------------------------------------------ full
+    def generate(self, params, cond_ids, uncond_ids, key, *,
+                 num_steps: Optional[int] = None,
+                 guidance_scale: Optional[float] = None,
+                 tap: Optional[TapSpec] = None,
+                 ivs: Optional[Interventions] = None,
+                 text_ivs: Optional[Interventions] = None,
+                 decode: bool = True):
+        """End-to-end generation: ids -> images in [0, 1] (B, 8s, 8s, 3), plus taps.
+
+        Matches the reference flow of `observe_activation` (hooked full pipeline
+        call; reference: neuron_receivers/base_receiver.py:40-77) but returns the
+        per-(t, l) statistics as stacked arrays.
+        """
+        cfg = self.config
+        num_steps = num_steps or cfg.num_inference_steps
+        g = cfg.guidance_scale if guidance_scale is None else guidance_scale
+        fn = self._jitted_generate(num_steps, g, tap, decode,
+                                   ivs is not None, text_ivs is not None)
+        return fn(params, cond_ids, uncond_ids, key, ivs, text_ivs)
+
+    @functools.lru_cache(maxsize=32)
+    def _jitted_generate(self, num_steps, guidance_scale, tap, decode,
+                         has_ivs, has_text_ivs):
+        def run(params, cond_ids, uncond_ids, key, ivs, text_ivs):
+            cfg = self.config
+            b = cond_ids.shape[0]
+            cond_emb, _ = self.encode_text(params, cond_ids, None, text_ivs)
+            uncond_emb, text_taps = self.encode_text(params, uncond_ids, tap,
+                                                     text_ivs)
+            context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
+            s = cfg.sample_size
+            latents = jax.random.normal(
+                key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
+            latents = latents * self.scheduler.init_noise_sigma
+            latents, taps = self.denoise(params, context, latents, num_steps,
+                                         guidance_scale, tap, ivs)
+            if text_taps:
+                taps = dict(taps or {}, **text_taps)
+            if not decode:
+                return latents, taps
+            images = self.vae_decoder.apply({"params": params["vae"]}, latents)
+            images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
+            return images, taps
+
+        return jax.jit(run)
+
+
+def to_pil(images: jax.Array):
+    """(B, H, W, 3) floats in [0,1] -> list of PIL images (host-side)."""
+    from PIL import Image
+    arr = np.asarray(jax.device_get(images))
+    arr = (arr * 255).round().astype(np.uint8)
+    return [Image.fromarray(a) for a in arr]
+
+
+def blur_images(images: jax.Array, sigma: float = 7.0) -> jax.Array:
+    """Gaussian blur, reproducing the reference's blur-if-nsfw output policy
+    (reference: modularity/remove_experts.py:17-22) as an explicit utility."""
+    size = int(2 * round(3 * sigma) + 1)
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    k1d = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k1d = k1d / jnp.sum(k1d)
+    img = jnp.moveaxis(images, -1, 1)  # (B, C, H, W)
+    b, c, h, w = img.shape
+    flat = img.reshape(b * c, 1, h, w)
+    kh = k1d.reshape(1, 1, size, 1)
+    kw = k1d.reshape(1, 1, 1, size)
+    for k in (kh, kw):
+        flat = jax.lax.conv_general_dilated(
+            flat, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return jnp.moveaxis(flat.reshape(b, c, h, w), 1, -1)

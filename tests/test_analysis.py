@@ -1,0 +1,112 @@
+"""Unit tests for stats accumulators and skill selectors (pure numpy/scipy)."""
+import numpy as np
+
+from diffusion_models_moe_tpu.analysis.selectors import (
+    greater_skilled_experts, intersect_over_seeds,
+    moefy_compare_skilled_experts, prediction_accuracy_skilled,
+    random_masks_like, skilled_neurons_to_experts, t_test_skilled,
+    wanda_mask_to_flax, wanda_skilled)
+from diffusion_models_moe_tpu.analysis.stats import (ColumnNormAccumulator,
+                                                     PairedDiffStd,
+                                                     TapAccumulator,
+                                                     WelfordArray)
+
+
+def test_welford_matches_numpy():
+    rng = np.random.RandomState(0)
+    xs = rng.randn(50, 3, 7)
+    w = WelfordArray()
+    for x in xs:
+        w.update(x)
+    np.testing.assert_allclose(w.mean, xs.mean(0), atol=1e-12)
+    np.testing.assert_allclose(w.std(), xs.std(0, ddof=1), atol=1e-12)
+
+
+def test_column_norm_accumulator_matches_direct():
+    """Incremental column norms == direct norm of the stacked matrix — the
+    invariant the reference self-tests (neuron_receivers/wanda_receiver.py:75-123)."""
+    rng = np.random.RandomState(1)
+    chunks = [rng.randn(5, 2, 8) for _ in range(4)]  # per-prompt (T=2, H=8) sq-sums
+    acc = ColumnNormAccumulator()
+    full = []
+    for rows in chunks:
+        # simulate the tap output: sum of squared normalized rows
+        normed = rows / np.linalg.norm(rows, axis=-1, keepdims=True)
+        acc.update({0: np.sum(normed ** 2, axis=0)})
+        full.append(normed)
+    direct = np.sqrt(np.sum(np.concatenate(full, 0) ** 2, axis=0))
+    np.testing.assert_allclose(acc.norms()[0], direct, atol=1e-10)
+
+
+def test_tap_accumulator_save(tmp_path):
+    acc = TapAccumulator()
+    rng = np.random.RandomState(2)
+    for _ in range(3):
+        acc.update({0: rng.randn(2, 4), 1: rng.randn(2, 6)})
+    acc.save(str(tmp_path / "predictivity_base.json"))
+    import json
+    data = json.load(open(tmp_path / "predictivity_base.json"))
+    assert set(data["time_steps"]) == {"0", "1"}
+    assert len(data["time_steps"]["0"]["0"]["avg"]) == 4
+
+
+def test_t_test_selector_detects_shift():
+    rng = np.random.RandomState(3)
+    n, t, h = 30, 2, 16
+    base = rng.randn(n, t, h)
+    adj = base.copy()
+    adj[:, :, :4] += 3.0  # neurons 0-3 respond strongly to the concept
+    bacc, aacc, dstd = TapAccumulator(), TapAccumulator(), PairedDiffStd()
+    for i in range(n):
+        bacc.update({0: base[i]})
+        aacc.update({0: adj[i]})
+        dstd.update({0: base[i]}, {0: adj[i]})
+    skilled = t_test_skilled(bacc.mean()[0], aacc.mean()[0], dstd.std()[0],
+                             n, conf=0.01)
+    assert skilled[:, :4].all() and not skilled[:, 4:].any()
+    rs, ru = random_masks_like(skilled, seed=0)
+    assert rs.sum() == skilled.sum()
+    assert not (ru & skilled).any()
+
+
+def test_prediction_accuracy_selector():
+    rng = np.random.RandomState(4)
+    n, t, h = 40, 2, 20
+    labels = rng.randint(0, 2, n)
+    base = rng.randn(n, t, h)
+    adj = base + 0.1 * rng.randn(n, t, h)
+    adj[:, :, 0] = base[:, :, 0] + (labels * 2 - 1)[:, None]  # neuron 0 predicts
+    skilled = prediction_accuracy_skilled(base, adj, labels, ratio=0.05)
+    assert skilled[:, 0].all()
+    assert skilled.sum(-1).max() == 1  # top 5% of 20 = exactly 1 per (t,)
+
+
+def test_wanda_selector():
+    rng = np.random.RandomState(5)
+    t, d, h = 3, 6, 10
+    w2 = np.abs(rng.randn(d, h))
+    base_n = np.abs(rng.randn(t, h))
+    adj_n = base_n.copy()
+    adj_n[:, 0] *= 10.0
+    skilled = wanda_skilled(w2, base_n, adj_n, skill_ratio=0.1)  # top-1 per row
+    assert skilled.shape == (t, d, h)
+    assert skilled[..., 0].all()
+    assert skilled.sum() == t * d
+    fl = wanda_mask_to_flax(skilled)
+    assert fl.shape == (t, h, d)
+
+
+def test_expert_selectors():
+    labels = np.array([0, 0, 1, 1, 2, 2])
+    skilled = np.array([[1, 1, 1, 0, 0, 0]], bool)
+    exp = skilled_neurons_to_experts(skilled, labels, skill_ratio=0.6)
+    np.testing.assert_array_equal(exp, [[True, False, False]])
+    base_m = np.zeros((1, 6)); adj_m = np.zeros((1, 6)); std = np.ones((1, 6))
+    adj_m[0, 2:4] = 5.0
+    g = greater_skilled_experts(base_m, adj_m, std, labels, skill_ratio=0.5)
+    np.testing.assert_array_equal(g, [[False, True, False]])
+    sel_b = np.array([[1, 0, 2]]); sel_a = np.array([[1, 3, 0]])
+    np.testing.assert_array_equal(
+        moefy_compare_skilled_experts(sel_b, sel_a), [[False, True, False]])
+    m = intersect_over_seeds([np.array([True, True]), np.array([True, False])])
+    np.testing.assert_array_equal(m, [True, False])

@@ -1,0 +1,102 @@
+"""MoEfication tests: balanced clustering invariants + routing parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_moe_tpu import tiny_config
+from diffusion_models_moe_tpu.moefication.cluster import (balanced_kmeans,
+                                                          cluster_cost,
+                                                          random_split_labels)
+from diffusion_models_moe_tpu.moefication.moefy import (build_moe_interventions,
+                                                        ff_param_paths,
+                                                        gate_weights,
+                                                        load_labels, moefy_unet)
+from diffusion_models_moe_tpu.taps import patterns_from_labels, routing_mask
+
+
+@pytest.mark.parametrize("method", ["sinkhorn", "greedy"])
+def test_balanced_kmeans_exact_sizes(method):
+    rng = np.random.RandomState(0)
+    x = rng.randn(120, 8)
+    labels = balanced_kmeans(x, 6, method=method)
+    counts = np.bincount(labels, minlength=6)
+    np.testing.assert_array_equal(counts, np.full(6, 20))
+
+
+@pytest.mark.parametrize("method", ["sinkhorn", "greedy"])
+def test_balanced_kmeans_beats_random_split(method):
+    """Clustering must find structure: cost below the random-split control
+    (the reference keeps RandomSplit as exactly this control,
+    moefication/moe_utils.py:80-89)."""
+    rng = np.random.RandomState(1)
+    centers = rng.randn(6, 8) * 4
+    x = np.concatenate([centers[i] + 0.1 * rng.randn(20, 8) for i in range(6)])
+    perm = rng.permutation(120)
+    x = x[perm]
+    labels = balanced_kmeans(x, 6, method=method)
+    rand = random_split_labels(120, 20)
+    assert cluster_cost(x, labels) < 0.5 * cluster_cost(x, rand)
+    # well-separated clusters should be recovered exactly
+    true = np.repeat(np.arange(6), 20)[perm]
+    for c in range(6):
+        assert len(np.unique(labels[true == c])) == 1
+
+
+def test_balanced_kmeans_deterministic():
+    x = np.random.RandomState(2).randn(60, 4)
+    l1 = balanced_kmeans(x, 3, seed=5)
+    l2 = balanced_kmeans(x, 3, seed=5)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_routing_mask_matches_naive():
+    """Pallas/XLA routing vs a naive per-token reference implementation
+    (semantics of neuron_receivers/moefy.py:15-26)."""
+    rng = np.random.RandomState(0)
+    h, e, k, n = 64, 8, 3, 17
+    labels = rng.permutation(np.arange(h) % e)
+    patterns = np.asarray(patterns_from_labels(labels, e))
+    gate = rng.randn(n, h).astype(np.float32)
+    mask, sel = routing_mask(jnp.asarray(gate), jnp.asarray(patterns), k)
+    mask = np.asarray(mask)
+    for i in range(n):
+        score = patterns @ gate[i]
+        top = np.argsort(-score)[:k]
+        exp_mask = patterns[top].sum(0)
+        np.testing.assert_allclose(mask[i], exp_mask, atol=1e-6)
+    # mask zeroes exactly the neurons of unselected experts
+    assert mask.min() == 0.0 and mask.max() == 1.0
+
+
+def test_routing_exact_k_matches_threshold_without_ties():
+    rng = np.random.RandomState(3)
+    h, e, k, n = 32, 4, 2, 9
+    patterns = jnp.asarray(patterns_from_labels(np.arange(h) % e, e))
+    gate = jnp.asarray(rng.randn(n, h), jnp.float32)
+    m1, _ = routing_mask(gate, patterns, k, exact_k=False)
+    m2, _ = routing_mask(gate, patterns, k, exact_k=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_moefy_unet_and_interventions(tmp_path):
+    from diffusion_models_moe_tpu import StableDiffusionPipeline
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    cfg = pipe.config.unet
+    assert len(ff_param_paths(cfg)) == 16
+    gws = gate_weights(params["unet"], cfg)
+    dims = cfg.ff_dims()
+    for w, d in zip(gws, dims):
+        assert w.shape[0] == 4 * d
+    labels = moefy_unet(params["unet"], cfg, expert_size=16, method="greedy",
+                        save_path=str(tmp_path / "param_split.npz"))
+    reloaded = load_labels(str(tmp_path / "param_split.npz"))
+    assert set(reloaded) == set(labels)
+    ivs = build_moe_interventions(labels, topk_ratio=0.5)
+    assert len(ivs) == 16
+    for iv, d in zip(ivs, dims):
+        e = (4 * d) // 16
+        assert iv.patterns.shape == (e, 4 * d)
+        assert iv.k == max(int(e * 0.5), 1)
+        np.testing.assert_allclose(np.asarray(iv.patterns).sum(0), 1.0)
