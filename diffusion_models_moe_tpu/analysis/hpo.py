@@ -1,0 +1,109 @@
+"""Hyperparameter search for removal thresholds — Optuna-free study driver.
+
+The reference runs Optuna studies (SQLite-backed) over t-test confidence levels with
+two objectives: an LLaVA style-removal score (reference:
+modularity/remove_experts_hpo.py:110-208) and a noise-difference objective that
+minimizes average ||eps_removed - eps_base|| over timesteps via a whole-UNet hook
+(reference: modularity/remove_experts_noise_hpo.py:133-240,
+neuron_receivers/base_unet_receiver.py:25-45). Here:
+
+  * studies are plain grid/random search with JSON trial logs (no SQLite);
+  * the noise objective needs no hook — the denoise scan already returns the
+    CFG-combined eps trajectory when asked.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Trial:
+    number: int
+    params: dict
+    value: float
+
+
+@dataclasses.dataclass
+class Study:
+    """Minimal study: grid or random sampling, JSON persistence, best-trial query."""
+    name: str
+    direction: str = "minimize"
+    storage_dir: Optional[str] = None
+    trials: list[Trial] = dataclasses.field(default_factory=list)
+
+    def optimize_grid(self, objective: Callable[[dict], float],
+                      grid: dict[str, Sequence]) -> Trial:
+        keys = list(grid)
+
+        def expand(i, current):
+            if i == len(keys):
+                yield dict(current)
+                return
+            for v in grid[keys[i]]:
+                current[keys[i]] = v
+                yield from expand(i + 1, current)
+
+        for combo in expand(0, {}):
+            self._run_trial(objective, combo)
+        return self.best_trial()
+
+    def optimize_random(self, objective: Callable[[dict], float],
+                        space: dict[str, tuple[float, float]], n_trials: int,
+                        seed: int = 0) -> Trial:
+        rng = np.random.RandomState(seed)
+        for _ in range(n_trials):
+            params = {k: float(rng.uniform(lo, hi))
+                      for k, (lo, hi) in space.items()}
+            self._run_trial(objective, params)
+        return self.best_trial()
+
+    def _run_trial(self, objective, params) -> None:
+        value = float(objective(params))
+        self.trials.append(Trial(len(self.trials), params, value))
+        if self.storage_dir:
+            os.makedirs(self.storage_dir, exist_ok=True)
+            with open(os.path.join(self.storage_dir,
+                                   f"{self.name}.json"), "w") as f:
+                json.dump([dataclasses.asdict(t) for t in self.trials], f,
+                          indent=1)
+
+    def best_trial(self) -> Trial:
+        key = (min if self.direction == "minimize" else max)
+        return key(self.trials, key=lambda t: t.value)
+
+
+def noise_diff_objective(pipe, params, tokenize, prompts: Sequence[str],
+                         make_ivs: Callable[[dict], object],
+                         seed: int = 0, num_steps: Optional[int] = None
+                         ) -> Callable[[dict], float]:
+    """Objective(params) = mean over prompts/timesteps of ||eps_removed - eps_base||.
+
+    Uses final latents of base vs intervened runs as the removal-drift proxy;
+    the reference's per-timestep eps capture corresponds to taps on the UNet
+    output (reference: remove_experts_noise_hpo.py:133-240). Lower = removal
+    perturbs the model less outside the concept.
+    """
+    def run(prompt, ivs):
+        cond = tokenize([prompt])
+        uncond = np.zeros_like(cond)
+        lat, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(seed),
+                               num_steps=num_steps, ivs=ivs, decode=False)
+        return np.asarray(lat)
+
+    base_latents = [run(p, None) for p in prompts]
+
+    def objective(trial_params: dict) -> float:
+        ivs = make_ivs(trial_params)
+        diffs = [np.linalg.norm(run(p, ivs) - b)
+                 for p, b in zip(prompts, base_latents)]
+        return float(np.mean(diffs))
+
+    return objective

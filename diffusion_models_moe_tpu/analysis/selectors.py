@@ -66,11 +66,9 @@ def prediction_accuracy_skilled(base_acts: np.ndarray, adj_acts: np.ndarray,
              == np.asarray(labels, np.int8)[:, None, None])
     score = agree.mean(axis=0)                      # (T, H)
     k = max(int(ratio * score.shape[-1]), 1)
-    thresh = np.partition(score, -k, axis=-1)[..., -k:-k + 1]
-    skilled = score >= thresh
-    # enforce exactly-k under ties, highest scores first
+    # exactly-k per (t,), highest scores first (ties by index)
     order = np.argsort(-score, axis=-1)
-    exact = np.zeros_like(skilled)
+    exact = np.zeros(score.shape, bool)
     np.put_along_axis(exact, order[..., :k], True, axis=-1)
     return exact
 

@@ -1,0 +1,118 @@
+"""CLIP-based metrics: CLIP score, image-image similarity, zero-shot classification,
+gender ratio, and concept checkers.
+
+Covers the reference's CLIP judge battery: text-image CLIP score
+(modularity/clip_score.py:51-140), pre/post-removal image-image similarity + accuracy
+(benchmarks/artist_removal.py:59-70,180-210), man/woman zero-shot gender ratio
+(benchmarks/ratio-gender.py:10-60), and CLIP-text concept routing checkers
+(benchmarks/concept_checkers.py:86-241, benchmark_utils.py:98-381).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pooled_text_embedding(hidden: jax.Array, input_ids: jax.Array,
+                          text_projection: jax.Array,
+                          normalize: bool = True) -> jax.Array:
+    """CLIP text embedding: hidden state at the EOT token (highest token id)
+    through the text projection."""
+    eot = jnp.argmax(input_ids, axis=-1)
+    pooled = hidden[jnp.arange(hidden.shape[0]), eot]
+    emb = pooled @ text_projection
+    if normalize:
+        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                                1e-12)
+    return emb
+
+
+def clip_score(image_emb: jax.Array, text_emb: jax.Array) -> jax.Array:
+    """Per-pair cosine similarity scaled to [0, 100] (torchmetrics convention the
+    reference uses via CLIPScore)."""
+    sim = jnp.sum(image_emb * text_emb, axis=-1)
+    return 100.0 * jnp.maximum(sim, 0.0)
+
+
+def image_image_similarity(emb_a: jax.Array, emb_b: jax.Array) -> jax.Array:
+    return jnp.sum(emb_a * emb_b, axis=-1)
+
+
+def removal_accuracy(sim_orig: np.ndarray, sim_removed: np.ndarray) -> float:
+    """Fraction of prompts where the removed image drifted from the original
+    concept more than the baseline did: acc(sim_orig > sim_removed)
+    (reference: benchmarks/artist_removal.py:180-210)."""
+    return float(np.mean(np.asarray(sim_orig) > np.asarray(sim_removed)))
+
+
+def zero_shot_classify(image_emb: jax.Array, class_text_embs: jax.Array,
+                       logit_scale: float = 100.0) -> jax.Array:
+    """(B, P) x (C, P) -> predicted class ids."""
+    logits = logit_scale * image_emb @ class_text_embs.T
+    return jnp.argmax(logits, axis=-1)
+
+
+def gender_ratio(image_embs: jax.Array, man_emb: jax.Array,
+                 woman_emb: jax.Array) -> dict:
+    """CLIP man/woman classification -> ratio stats per profession
+    (reference: benchmarks/ratio-gender.py:10-60)."""
+    classes = jnp.stack([man_emb, woman_emb])
+    pred = np.asarray(zero_shot_classify(image_embs, classes))
+    n_woman = int((pred == 1).sum())
+    n = pred.shape[0]
+    return {"n": n, "woman_frac": n_woman / n, "man_frac": 1 - n_woman / n}
+
+
+def debias_success_rates(pred_before: np.ndarray, pred_after: np.ndarray) -> dict:
+    """m2f/f2m flip rates between baseline and debiased generations
+    (reference: benchmarks/ratio-gender.py success rates)."""
+    before = np.asarray(pred_before)
+    after = np.asarray(pred_after)
+    m = before == 0
+    f = before == 1
+    return {
+        "m2f": float((after[m] == 1).mean()) if m.any() else 0.0,
+        "f2m": float((after[f] == 0).mean()) if f.any() else 0.0,
+    }
+
+
+@dataclasses.dataclass
+class ConceptChecker:
+    """Decides from a prompt embedding whether a concept applies — the router of the
+    reference's unified-editing benchmark (benchmarks/unified_editing.py:64-136,
+    concept_checkers.py:86-241): cos(prompt, concept) - cos(prompt, anchor) > margin.
+    """
+    concept: str
+    concept_emb: np.ndarray          # (P,)
+    anchor_emb: np.ndarray           # (P,) "no concept" anchor text
+    margin: float = 0.0
+
+    def __call__(self, prompt_embs: np.ndarray) -> np.ndarray:
+        p = np.asarray(prompt_embs)
+        sim_c = p @ np.asarray(self.concept_emb)
+        sim_a = p @ np.asarray(self.anchor_emb)
+        return (sim_c - sim_a) > self.margin
+
+
+@dataclasses.dataclass
+class MemorizedPromptChecker:
+    """Exact-match lookup of known memorized prompts
+    (reference: benchmarks/concept_checkers.py MemorizedPromptChecker)."""
+    prompts: Sequence[str]
+
+    def __post_init__(self):
+        self._set = {p.strip().lower() for p in self.prompts}
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        return np.asarray([p.strip().lower() in self._set for p in prompts])
+
+
+def checker_accuracy(checker, prompt_embs: np.ndarray,
+                     labels: np.ndarray) -> float:
+    """Routing-quality accuracy (reference: benchmarks/prompt_similarity.py)."""
+    pred = checker(prompt_embs)
+    return float(np.mean(pred == np.asarray(labels, bool)))

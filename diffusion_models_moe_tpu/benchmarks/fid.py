@@ -1,0 +1,74 @@
+"""Frechet Inception/CLIP Distance on-device.
+
+The reference computes FID with torchmetrics (InceptionV3 features;
+benchmarks/eval_coco.py:16,25-29) and a CLIP-feature variant for the sparsity path
+(reference: sparsity/eval_coco.py:18-37,41-70). Here FID is a pure function over
+feature batches; the default feature extractor is the native CLIP vision tower, so the
+whole generate->featurize->FID loop stays on TPU. Gaussian statistics accumulate
+streamingly, so 30k-image protocols never hold features in host memory.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+
+@dataclasses.dataclass
+class FeatureStats:
+    """Streaming mean/covariance accumulator for one image distribution."""
+    n: int = 0
+    sum: np.ndarray | None = None
+    outer: np.ndarray | None = None
+
+    def update(self, feats: np.ndarray) -> None:
+        feats = np.asarray(feats, np.float64)
+        if self.sum is None:
+            d = feats.shape[-1]
+            self.sum = np.zeros(d)
+            self.outer = np.zeros((d, d))
+        self.n += feats.shape[0]
+        self.sum += feats.sum(0)
+        self.outer += feats.T @ feats
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        mu = self.sum / self.n
+        cov = (self.outer - self.n * np.outer(mu, mu)) / max(self.n - 1, 1)
+        return mu, cov
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """FD = |mu1-mu2|^2 + tr(C1 + C2 - 2 sqrt(C1 C2))."""
+    diff = mu1 - mu2
+    covmean = scipy.linalg.sqrtm(cov1 @ cov2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(cov1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((cov1 + offset) @ (cov2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
+                 - 2.0 * np.trace(covmean))
+
+
+def fid_from_features(real: np.ndarray, fake: np.ndarray) -> float:
+    a, b = FeatureStats(), FeatureStats()
+    a.update(real)
+    b.update(fake)
+    return frechet_distance(*a.finalize(), *b.finalize())
+
+
+def make_clip_featurizer(vision_encoder, vision_params):
+    """Jitted (B, H, W, 3)->features fn using the native CLIP tower
+    (the CLIP-feature FID variant, reference: sparsity/eval_coco.py:18-37)."""
+    from diffusion_models_moe_tpu.models.clip_vision import resize_for_clip
+
+    @jax.jit
+    def featurize(images):
+        images = resize_for_clip(images, vision_encoder.cfg.image_size)
+        return vision_encoder.apply({"params": vision_params}, images,
+                                    normalize=False)
+
+    return featurize

@@ -1,0 +1,52 @@
+"""Memorization evaluation: similarity of generations to memorized LAION images.
+
+Protocol from the reference (benchmarks/inference_mem.py:46-83,117-168): for 500
+memorized prompts, generate with/without erasure and measure (a) SSCD copy-detection
+similarity against the LAION ground-truth image and (b) CLIP score against the prompt.
+
+SSCD is an external torchscript judge in the reference; here the embedder is
+injected (`embed(images) -> (B, D)` L2-normalized). The native CLIP vision tower is
+the default embedder — a copy-detection proxy with the same cosine-similarity
+aggregation — and a torchscript SSCD can be dropped in when available.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+Embedder = Callable[[np.ndarray], np.ndarray]
+
+
+def load_sscd(path: str) -> Embedder:
+    """Load a torchscript SSCD model (host-side judge) if available."""
+    import torch
+
+    model = torch.jit.load(path, map_location="cpu").eval()
+
+    def embed(images: np.ndarray) -> np.ndarray:
+        x = torch.from_numpy(np.asarray(images, np.float32)).permute(0, 3, 1, 2)
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        with torch.no_grad():
+            emb = model((x - mean) / std).numpy()
+        return emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True),
+                                1e-12)
+
+    return embed
+
+
+def similarity_matrix(emb_a: np.ndarray, emb_b: np.ndarray) -> np.ndarray:
+    return np.asarray(emb_a) @ np.asarray(emb_b).T
+
+
+def memorization_scores(gen_embs: np.ndarray, gt_embs: np.ndarray) -> dict:
+    """Pairwise generation-vs-ground-truth similarity stats
+    (reference: benchmarks/inference_mem.py:46-68 measure_SSCD_similarity)."""
+    sims = np.sum(np.asarray(gen_embs) * np.asarray(gt_embs), axis=-1)
+    return {
+        "mean_similarity": float(sims.mean()),
+        "max_similarity": float(sims.max()),
+        "frac_above_0.5": float((sims > 0.5).mean()),
+        "per_prompt": sims.tolist(),
+    }

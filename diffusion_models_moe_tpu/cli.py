@@ -1,0 +1,265 @@
+"""Command-line orchestration: the framework's L7 layer.
+
+Replaces the reference's bash sweep scripts + per-script argparse CLIs
+(reference: scripts/*.sh, SURVEY.md §1 L7) with one typed CLI:
+
+    python -m diffusion_models_moe_tpu.cli moefy      --snapshot <dir> --out <npz>
+    python -m diffusion_models_moe_tpu.cli generate   --snapshot <dir> --prompt "..."
+    python -m diffusion_models_moe_tpu.cli wanda      --snapshot <dir> --concept "Van Gogh" ...
+    python -m diffusion_models_moe_tpu.cli ttest      --snapshot <dir> --concept ...
+    python -m diffusion_models_moe_tpu.cli remove     --snapshot <dir> --masks <npz> ...
+    python -m diffusion_models_moe_tpu.cli bake-union --masks <npz> --ratio 0.3 ...
+    python -m diffusion_models_moe_tpu.cli sparsity   --snapshot <dir> ...
+    python -m diffusion_models_moe_tpu.cli expert-freq --snapshot <dir> --labels <npz>
+
+`--snapshot` points at a local diffusers-layout SD checkpoint; omit it to run the
+random-init tiny config (useful for smoke tests without weights).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_pipe(args):
+    import jax
+    from diffusion_models_moe_tpu import (StableDiffusionPipeline, sd15_config,
+                                          tiny_config)
+    if args.snapshot:
+        import jax.numpy as jnp
+        from diffusion_models_moe_tpu.data.tokenizer import load_tokenizer
+        from diffusion_models_moe_tpu.weights.port import port_pipeline
+        cfg = sd15_config(dtype=jnp.bfloat16,
+                          relufied=getattr(args, "relufied", False))
+        pipe = StableDiffusionPipeline(cfg)
+        params = port_pipeline(args.snapshot, cfg)
+        tokenize = load_tokenizer(os.path.join(args.snapshot, "tokenizer"))
+    else:
+        pipe = StableDiffusionPipeline(tiny_config())
+        params = pipe.init_params(jax.random.PRNGKey(0))
+        vocab = pipe.config.text_encoder.vocab_size
+        maxlen = pipe.config.text_encoder.max_length
+
+        def tokenize(texts):
+            rng = np.random.RandomState(abs(hash(tuple(texts))) % (2 ** 31))
+            return rng.randint(0, vocab, (len(texts), maxlen)).astype(np.int32)
+
+    return pipe, params, tokenize
+
+
+def _prompt_pairs(args):
+    from diffusion_models_moe_tpu.data.prompts import concept_prompts
+    subjects = None
+    if getattr(args, "subjects_file", None):
+        from diffusion_models_moe_tpu.data.prompts import load_subjects
+        subjects = load_subjects(args.subjects_file)
+    pairs = concept_prompts(args.concept, subjects=subjects)
+    if getattr(args, "limit", 0):
+        return pairs.base[:args.limit], pairs.concept[:args.limit]
+    return pairs.base, pairs.concept
+
+
+def cmd_moefy(args):
+    pipe, params, _ = _load_pipe(args)
+    from diffusion_models_moe_tpu.moefication.moefy import moefy_unet
+    labels = moefy_unet(params["unet"], pipe.config.unet,
+                        expert_size=args.expert_size, method=args.method,
+                        seed=args.seed, save_path=args.out)
+    print(json.dumps({k: int(v.max()) + 1 for k, v in labels.items()}))
+
+
+def cmd_generate(args):
+    import jax
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.pipelines.stable_diffusion import to_pil
+    ivs = None
+    if args.labels:
+        from diffusion_models_moe_tpu.moefication.moefy import (
+            build_moe_interventions, load_labels)
+        ivs = build_moe_interventions(load_labels(args.labels), args.topk)
+    cond = tokenize([args.prompt])
+    uncond = tokenize([""]) if args.snapshot else np.zeros_like(cond)
+    img, _ = pipe.generate(params, cond, uncond,
+                           jax.random.PRNGKey(args.seed),
+                           num_steps=args.steps, ivs=ivs)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    to_pil(img)[0].save(args.out)
+    print(args.out)
+
+
+def cmd_wanda(args):
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.analysis.collect import wanda_pipeline
+    from diffusion_models_moe_tpu.erasure.masks import save_masks
+    base, adj = _prompt_pairs(args)
+    masks = wanda_pipeline(pipe, params, tokenize, base, adj,
+                           skill_ratio=args.skill_ratio, seed=args.seed,
+                           num_steps=args.steps, cache_dir=args.cache_dir)
+    save_masks(args.out, masks)
+    total = sum(int(m.sum()) for m in masks.values())
+    print(json.dumps({"out": args.out, "skilled_entries": total}))
+
+
+def cmd_ttest(args):
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.analysis.collect import (collect_predictivity,
+                                                           t_test_pipeline)
+    from diffusion_models_moe_tpu.erasure.masks import save_masks
+    base, adj = _prompt_pairs(args)
+    pred = collect_predictivity(pipe, params, tokenize, base, adj,
+                                seed=args.seed, num_steps=args.steps)
+    if args.save_predictivity:
+        pred.save(args.save_predictivity)
+    masks = t_test_pipeline(pred, conf=args.conf)
+    save_masks(args.out, masks)
+    total = sum(int(m.sum()) for m in masks.values())
+    print(json.dumps({"out": args.out, "skilled_neurons": total}))
+
+
+def cmd_remove(args):
+    import jax
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.benchmarks.runner import (EvalRunConfig,
+                                                            run_eval)
+    from diffusion_models_moe_tpu.erasure.masks import (
+        load_masks, neuron_removal_interventions, wanda_removal_interventions)
+    masks = load_masks(args.masks)
+    if args.mode == "wanda":
+        ivs = wanda_removal_interventions(masks)
+    else:
+        ivs = neuron_removal_interventions(masks)
+    base, adj = _prompt_pairs(args)
+    cfg = EvalRunConfig(out_dir=args.out_dir, batch_size=args.batch,
+                        num_steps=args.steps, seed=args.seed)
+    print(json.dumps(run_eval(pipe, params, tokenize, adj, cfg, ivs=ivs)))
+
+
+def cmd_bake_union(args):
+    pipe, params, _ = _load_pipe(args)
+    from diffusion_models_moe_tpu.erasure.masks import (bake_wanda_masks,
+                                                        load_masks,
+                                                        union_over_timesteps)
+    from diffusion_models_moe_tpu.weights.export import (export_unet,
+                                                         save_safetensors)
+    masks = load_masks(args.masks)
+    # stored flax (T, H, D) -> reference (T, D, H) for union + baking
+    masks_dh = {l: np.swapaxes(m, -1, -2) for l, m in masks.items()}
+    static = union_over_timesteps(masks_dh, args.ratio)
+    baked = bake_wanda_masks(params["unet"], pipe.config.unet, static)
+    save_safetensors(export_unet(baked, pipe.config.unet), args.out)
+    print(json.dumps({"out": args.out,
+                      "pruned": {str(l): int(m.sum())
+                                 for l, m in static.items()}}))
+
+
+def cmd_sparsity(args):
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.analysis.sparsity import measure_sparsity
+    base, adj = _prompt_pairs(args) if args.concept else (
+        ["a photo of a cat"], None)
+    res = measure_sparsity(pipe, params, tokenize, base, seed=args.seed,
+                           num_steps=args.steps, out_path=args.out)
+    print(json.dumps({str(l): float(np.mean(v)) for l, v in res.items()}))
+
+
+def cmd_expert_freq(args):
+    import jax
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.moefication.moefy import (
+        build_moe_interventions, load_labels)
+    from diffusion_models_moe_tpu.taps import TapSpec
+    ivs = build_moe_interventions(load_labels(args.labels), args.topk)
+    base, adj = _prompt_pairs(args) if args.concept else (
+        ["a photo of a cat"], None)
+    counts = None
+    for prompt in base:
+        cond = tokenize([prompt])
+        _, taps = pipe.generate(params, cond, np.zeros_like(cond),
+                                jax.random.PRNGKey(args.seed),
+                                num_steps=args.steps,
+                                tap=TapSpec(expert_freq=True), ivs=ivs,
+                                decode=False)
+        freq = {l: np.asarray(v) for l, v in taps["expert_freq"].items()}
+        counts = freq if counts is None else {
+            l: counts[l] + freq[l] for l in counts}
+    out = {str(l): (v / len(base)).tolist() for l, v in counts.items()}
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(args.out)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="diffusion_models_moe_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, concept=False):
+        sp.add_argument("--snapshot", default=None)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--steps", type=int, default=None)
+        sp.add_argument("--relufied", action="store_true")
+        if concept:
+            sp.add_argument("--concept", default=None)
+            sp.add_argument("--subjects-file", default=None)
+            sp.add_argument("--limit", type=int, default=0)
+
+    sp = sub.add_parser("moefy"); common(sp)
+    sp.add_argument("--expert-size", type=int, default=20)
+    sp.add_argument("--method", default="sinkhorn")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_moefy)
+
+    sp = sub.add_parser("generate"); common(sp)
+    sp.add_argument("--prompt", required=True)
+    sp.add_argument("--labels", default=None)
+    sp.add_argument("--topk", type=float, default=0.3)
+    sp.add_argument("--out", default="out.png")
+    sp.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("wanda"); common(sp, concept=True)
+    sp.add_argument("--skill-ratio", type=float, default=0.05)
+    sp.add_argument("--cache-dir", default=None)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_wanda)
+
+    sp = sub.add_parser("ttest"); common(sp, concept=True)
+    sp.add_argument("--conf", type=float, default=0.05)
+    sp.add_argument("--save-predictivity", default=None)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_ttest)
+
+    sp = sub.add_parser("remove"); common(sp, concept=True)
+    sp.add_argument("--masks", required=True)
+    sp.add_argument("--mode", choices=["neurons", "wanda"], default="wanda")
+    sp.add_argument("--batch", type=int, default=4)
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_remove)
+
+    sp = sub.add_parser("bake-union"); common(sp)
+    sp.add_argument("--masks", required=True)
+    sp.add_argument("--ratio", type=float, default=0.3)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_bake_union)
+
+    sp = sub.add_parser("sparsity"); common(sp, concept=True)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_sparsity)
+
+    sp = sub.add_parser("expert-freq"); common(sp, concept=True)
+    sp.add_argument("--labels", required=True)
+    sp.add_argument("--topk", type=float, default=0.3)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_expert_freq)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

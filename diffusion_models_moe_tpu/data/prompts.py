@@ -1,0 +1,117 @@
+"""Concept prompt-pair construction for skill attribution.
+
+Table-driven rebuild of the reference's per-concept (base, concept) prompt pairing
+(reference: modularity/mod_utils.py:53-176 `get_prompts`): each concept class defines
+how the neutral base prompt and the concept-bearing prompt are formed from a subject
+word list. Subject lists ship as data below and can be overridden from files
+(reference keeps them in modularity/datasets/*.txt).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+# ---- built-in subject lists (framework data; override with files as needed) ----
+THINGS = [
+    "cat", "dog", "horse", "bird", "house", "tree", "car", "bicycle", "boat",
+    "chair", "table", "flower", "mountain", "river", "bridge", "castle",
+    "garden", "street", "beach", "forest",
+]
+ANIMALS = ["cat", "dog", "horse", "rabbit", "lion", "elephant", "bear",
+           "tiger", "deer", "fox"]
+HUMANS_MALE = ["man", "boy", "male person", "gentleman"]
+HUMANS_FEMALE = ["woman", "girl", "female person", "lady"]
+PROFESSIONS = ["doctor", "nurse", "teacher", "engineer", "lawyer", "chef",
+               "firefighter", "scientist", "pilot", "librarian"]
+IMAGENETTE = ["tench", "english springer", "cassette player", "chain saw",
+              "church", "french horn", "garbage truck", "gas pump",
+              "golf ball", "parachute"]
+ARTISTS = ["Van Gogh", "Monet", "Pablo Picasso", "Salvador Dali",
+           "Greg Rutkowski", "Jeremy Mann", "Leonardo Da Vinci", "Rembrandt"]
+
+_PREFIX_ADJECTIVES = {"white", "black", "jumping", "running"}
+_SUFFIX_POSITIONS = {"under a tree", "on a table", "behind a tree",
+                     "on the left of a tree", "near a tree", "in a room",
+                     "on the street"}
+_TABLE_OBJECTS = {"chain saw", "golf ball", "french horn"}
+_ROAD_OBJECTS = {"gas pump", "church", "garbage truck"}
+
+
+@dataclasses.dataclass(frozen=True)
+class PromptPairs:
+    base: list[str]
+    concept: list[str]
+    is_nsfw: bool = False
+
+
+def load_subjects(path: str) -> list[str]:
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def concept_prompts(concept: str, subjects: Optional[Sequence[str]] = None,
+                    captions: Optional[Sequence[str]] = None) -> PromptPairs:
+    """Build (base, concept) prompt pairs for a concept.
+
+    Classes (mirroring reference behavior, mod_utils.py:53-176):
+      adjectives      -> 'a {thing}' vs 'a {adj} {thing}'
+      positions       -> 'a {thing}' vs 'a {thing} {position}'
+      'painting'      -> photo-of vs painting-of
+      artist styles   -> 'a photo of a {thing}' vs 'a {thing} in the style of X'
+      'naked'/'nudity'-> NSFW flag set; naked/sexual/erotic phrasings
+      imagenette      -> scene-anchored object prompts
+      'memorize*'     -> base '' vs raw memorized captions
+      'gender'        -> headshot prompts of professions (pairs identical; the
+                         signal is in generations, not prompts)
+    """
+    low = concept.lower()
+    things = list(subjects) if subjects is not None else list(THINGS)
+
+    if low in _PREFIX_ADJECTIVES:
+        return PromptPairs([f"a {t}" for t in things],
+                           [f"a {low} {t}" for t in things])
+    if low in _SUFFIX_POSITIONS:
+        return PromptPairs([f"a {t}" for t in things],
+                           [f"a {t} {low}" for t in things])
+    if low == "painting":
+        return PromptPairs([f"a photo of a {t}" for t in things],
+                           [f"a painting of a {t}" for t in things])
+    if low == "naked":
+        return PromptPairs([f"a photo of a {t}" for t in things],
+                           [f"a photo of a naked {t}" for t in things],
+                           is_nsfw=True)
+    if low == "nudity":
+        humans = HUMANS_MALE + HUMANS_FEMALE
+        variants = ["naked", "completely naked", "sexual", "erotic"]
+        base = [f"a photo of a {h}" for h in humans] * len(variants)
+        adj = [f"a photo of a {v} {h}" for v in variants for h in humans]
+        return PromptPairs(base, adj, is_nsfw=True)
+    if low == "gender":
+        subjects = subjects if subjects is not None else PROFESSIONS
+        prompts = [f"a headshot of a {p}" for p in subjects]
+        return PromptPairs(prompts, list(prompts))
+    if low.startswith("memorize") or low == "violence":
+        caps = list(captions or [])
+        return PromptPairs(["" for _ in caps], caps, is_nsfw=(low == "violence"))
+    if low in _TABLE_OBJECTS:
+        return PromptPairs([f"a photo of a table" for _ in things],
+                           [f"a photo of a {low} on the table" for _ in things])
+    if low in _ROAD_OBJECTS:
+        return PromptPairs([f"a photo of a road" for _ in things],
+                           [f"a photo of a {low} on the side of the road"
+                            for _ in things])
+    if low in (s.lower() for s in IMAGENETTE):
+        return PromptPairs([f"a photo of a {t}" for t in things],
+                           [f"a photo of a {low}" for _ in things])
+    # default: treat the concept as an artistic style
+    return PromptPairs([f"a photo of a {t}" for t in things],
+                       [f"a {t} in the style of {concept}" for t in things])
+
+
+def validation_prompts(concept: str, subjects: Optional[Sequence[str]] = None
+                       ) -> PromptPairs:
+    """Held-out subjects for removal validation (reference:
+    modularity/remove_experts.py:160-173 uses val_things_{concept}.txt)."""
+    val = subjects if subjects is not None else ANIMALS
+    return concept_prompts(concept, subjects=val)

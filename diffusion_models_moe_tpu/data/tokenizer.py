@@ -1,0 +1,125 @@
+"""CLIP BPE tokenizer (self-contained; loads vocab.json + merges.txt).
+
+The reference relies on the pipeline's bundled transformers CLIPTokenizer. This
+implementation needs only the two vocab files from any CLIP checkpoint directory and
+produces the 77-token padded id arrays the text encoder consumes. Falls back to
+transformers' tokenizer if a full snapshot is available.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import re
+from typing import Sequence
+
+import numpy as np
+
+
+@functools.lru_cache()
+def _bytes_to_unicode() -> dict[int, str]:
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+    if False else
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+    re.IGNORECASE)
+
+
+class CLIPTokenizer:
+    def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77):
+        with open(vocab_path, encoding="utf-8") as f:
+            self.encoder: dict[str, int] = json.load(f)
+        with open(merges_path, encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # first line of CLIP merges.txt is a version header
+        merges = [tuple(l.split()) for l in lines
+                  if l and not l.startswith("#version")]
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self.max_length = max_length
+        self.bos = self.encoder.get("<|startoftext|>")
+        self.eos = self.encoder.get("<|endoftext|>")
+        self.pad = self.eos
+        self._cache: dict[str, str] = {}
+
+    @classmethod
+    def from_dir(cls, path: str, max_length: int = 77) -> "CLIPTokenizer":
+        return cls(os.path.join(path, "vocab.json"),
+                   os.path.join(path, "merges.txt"), max_length)
+
+    def _bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = set(zip(word[:-1], word[1:]))
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            merged = []
+            i = 0
+            while i < len(word):
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = tuple(merged)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        text = re.sub(r"\s+", " ", text.strip()).lower()
+        ids: list[int] = []
+        for tok in _PAT.findall(text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(tok).split(" ")
+                       if t in self.encoder)
+        return ids
+
+    def __call__(self, texts: Sequence[str] | str) -> np.ndarray:
+        """Tokenize to (B, max_length) int32, BOS/EOS framed, EOS-padded,
+        truncated to max_length (CLIP convention)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.full((len(texts), self.max_length), self.pad, np.int32)
+        for i, t in enumerate(texts):
+            ids = [self.bos] + self.encode(t)[: self.max_length - 2] + [self.eos]
+            out[i, :len(ids)] = ids
+        return out
+
+
+def load_tokenizer(path: str, max_length: int = 77):
+    """Prefer the self-contained BPE; fall back to transformers if the files are
+    in a full snapshot layout it understands."""
+    try:
+        return CLIPTokenizer.from_dir(path, max_length)
+    except (FileNotFoundError, json.JSONDecodeError):
+        from transformers import CLIPTokenizer as HFTok  # type: ignore
+        hf = HFTok.from_pretrained(path)
+
+        def tok(texts):
+            if isinstance(texts, str):
+                texts = [texts]
+            return np.asarray(hf(list(texts), padding="max_length",
+                                 max_length=max_length, truncation=True
+                                 )["input_ids"], np.int32)
+
+        return tok

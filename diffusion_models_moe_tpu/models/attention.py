@@ -56,6 +56,7 @@ class GEGLUFeedForward(nn.Module):
     activation: str = "geglu"
     ff_index: int = 0
     dtype: Any = jnp.float32
+    use_fused_routing: bool = True
 
     @nn.compact
     def __call__(self, x, *, step_idx=None,
@@ -88,6 +89,7 @@ class GEGLUFeedForward(nn.Module):
             gate = jnp.where(m[None, None, :],
                              jnp.asarray(iv.neuron_fill, gate.dtype), gate)
 
+        routed_fused = False
         if iv is not None and iv.patterns is not None and iv.k > 0:
             patterns = iv.patterns
             if iv.expert_remove is not None:
@@ -98,11 +100,24 @@ class GEGLUFeedForward(nn.Module):
             boost = None
             if iv.expert_boost is not None:
                 boost = iv.expert_boost[t]
-            g2 = gate.reshape(-1, hidden_dim)
-            mask2d, sel = routing_mask(g2, patterns, iv.k, expert_boost=boost)
-            gate = gate * mask2d.reshape(gate.shape)
-            if tap is not None and tap.any_expert_stat():
-                self._sow_expert_stats(g2, sel, gate.shape, tap, iv)
+            need_sel = tap is not None and tap.any_expert_stat()
+            if (self.use_fused_routing and gated and boost is None
+                    and not need_sel and jax.default_backend() == "tpu"):
+                # hot path: one Pallas kernel for score->topk->mask->multiply
+                from diffusion_models_moe_tpu.ops.routing_kernel import (
+                    fused_route_multiply)
+                shape = gate.shape
+                y2 = fused_route_multiply(
+                    hidden.reshape(-1, hidden_dim), gate.reshape(-1, hidden_dim),
+                    patterns.astype(gate.dtype), iv.k)
+                gate = None
+                hidden, routed_fused = y2.reshape(shape), True
+            else:
+                g2 = gate.reshape(-1, hidden_dim)
+                mask2d, sel = routing_mask(g2, patterns, iv.k, expert_boost=boost)
+                gate = gate * mask2d.reshape(gate.shape)
+                if need_sel:
+                    self._sow_expert_stats(g2, sel, gate.shape, tap, iv)
         elif tap is not None and tap.any_expert_stat() and iv is not None \
                 and iv.patterns is not None:
             # Expert stats without masking (ExpertPredictivity / GetExperts on an
@@ -112,7 +127,7 @@ class GEGLUFeedForward(nn.Module):
             mask2d, sel = routing_mask(g2, iv.patterns, k)
             self._sow_expert_stats(g2, sel, gate.shape, tap, iv)
 
-        y = hidden * gate if gated else gate
+        y = hidden if routed_fused else (hidden * gate if gated else gate)
 
         if tap is not None and tap.ff_out_colnorm_sq:
             # Wanda stat: column norms of the row-normalized input to W2
@@ -188,6 +203,7 @@ class BasicTransformerBlock(nn.Module):
     ff_mult: int = 4
     ff_activation: str = "geglu"
     dtype: Any = jnp.float32
+    use_fused_routing: bool = True
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
@@ -199,6 +215,7 @@ class BasicTransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
                                  ff_index=self.ff_index, dtype=self.dtype,
+                                 use_fused_routing=self.use_fused_routing,
                                  name="ff")(h, step_idx=step_idx, tap=tap, iv=iv)
         return x
 
@@ -213,6 +230,7 @@ class Transformer2D(nn.Module):
     ff_mult: int = 4
     ff_activation: str = "geglu"
     dtype: Any = jnp.float32
+    use_fused_routing: bool = True
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, ivs=None):
@@ -228,7 +246,8 @@ class Transformer2D(nn.Module):
         y = BasicTransformerBlock(
             self.dim, self.heads, self.context_dim, ff_index=self.ff_index,
             ff_mult=self.ff_mult, ff_activation=self.ff_activation,
-            dtype=self.dtype, name="transformer_blocks_0",
+            dtype=self.dtype, use_fused_routing=self.use_fused_routing,
+            name="transformer_blocks_0",
         )(y, context, step_idx=step_idx, tap=tap, iv=iv)
         y = y.reshape(b, h, w, self.dim)
         y = nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(y)

@@ -1,0 +1,110 @@
+"""Device mesh + sharding rules.
+
+The reference has no first-class parallelism (SURVEY.md §5.8): training is Accelerate
+DDP + partial ZeRO-3, everything else single-GPU. Here the equivalents are native
+jax.sharding over a ('dp', 'tp') mesh:
+
+  dp — batch (data parallel; replaces Accelerate DDP, grads psum over ICI)
+  tp — FF hidden dim + attention heads (tensor parallel; also shards each layer's
+       expert score matmul: patterns columns follow the gate shard, scores
+       reduce-scatter over ICI)
+
+Rules are regex on flattened param paths, applied with NamedSharding.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+                tp: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if dp is None and tp is None:
+        # favor dp for inference-style workloads; tp = largest pow2 <= 4 dividing n
+        tp = 1
+        for cand in (4, 2):
+            if n % cand == 0:
+                tp = cand
+                break
+        dp = n // tp
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, (dp, tp, n)
+    return Mesh(np.asarray(devices[:n]).reshape(dp, tp), ("dp", "tp"))
+
+
+# (regex on 'a/b/c' joined param path) -> PartitionSpec
+_UNET_RULES = [
+    (r".*/ff/proj/kernel$", P(None, "tp")),          # (D, 2H): shard both halves
+    (r".*/ff/proj/bias$", P("tp",)),
+    (r".*/ff/out_proj_kernel$", P("tp", None)),      # (H, D): contract over tp
+    (r".*/attn\d/to_[qkv]/kernel$", P(None, "tp")),  # shard heads
+    (r".*/attn\d/to_out/kernel$", P("tp", None)),
+    (r".*/(fc1|mlp/fc1)/kernel$", P(None, "tp")),
+    (r".*/fc2_kernel$", P("tp", None)),
+]
+
+
+def _spec_for(path: str) -> P:
+    for pat, spec in _UNET_RULES:
+        if re.match(pat, path):
+            return spec
+    return P()  # replicated
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a param tree (UNet/CLIP/VAE) under `mesh`."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(getattr(k, "key", str(k)) for k in kp)
+
+    specs = {path_str(kp): _spec_for(path_str(kp)) for kp, _ in flat}
+
+    def assign(kp, _):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def state_shardings(state, mesh: Mesh):
+    """Sharding pytree for a whole TrainState: param-shaped leaves anywhere in the
+    tree (params, ema, optimizer mu/nu) pick up the same tp rules by path suffix;
+    scalars and unmatched leaves replicate. This is the ZeRO-free analogue of the
+    reference's partial ZeRO-3 (train_relufied_sd.py:646-665): optimizer moments
+    follow the param sharding instead of being stage-3 partitioned."""
+    def assign(kp, _):
+        path = "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in kp)
+        return NamedSharding(mesh, _spec_for(path))
+
+    return jax.tree_util.tree_map_with_path(assign, state)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over 'dp'."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def intervention_shardings(ivs, mesh: Mesh):
+    """Interventions ride the tp axis where they index neurons: patterns (E, H) and
+    neuron masks shard their H axis to follow the gate shard."""
+    def shard_leaf(x):
+        if x is None:
+            return None
+        if x.ndim >= 2:
+            # last axis is H for patterns/neuron_mask; keep simple: replicate
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(shard_leaf, ivs)

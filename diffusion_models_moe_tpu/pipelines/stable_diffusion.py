@@ -22,6 +22,7 @@ from diffusion_models_moe_tpu.models.unet import UNet2DCondition
 from diffusion_models_moe_tpu.models.vae import VAEDecoder
 from diffusion_models_moe_tpu.schedulers.ddim import DDIMScheduler
 from diffusion_models_moe_tpu.schedulers.euler import EulerDiscreteScheduler
+from diffusion_models_moe_tpu.schedulers.dpm import DPMSolverScheduler
 from diffusion_models_moe_tpu.schedulers.pndm import PNDMScheduler
 from diffusion_models_moe_tpu.taps import Interventions, TapSpec
 
@@ -29,6 +30,7 @@ SCHEDULERS = {
     "ddim": DDIMScheduler,
     "pndm": PNDMScheduler,
     "euler": EulerDiscreteScheduler,
+    "dpm": DPMSolverScheduler,
 }
 
 

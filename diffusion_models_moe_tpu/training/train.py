@@ -1,0 +1,181 @@
+"""ReLUfication fine-tuning: data/tensor-parallel train step + EMA + checkpoints.
+
+TPU-native rebuild of the reference's forked diffusers text-to-image trainer
+(reference: train_relufied_sd.py; deltas listed in SURVEY.md §2.8):
+  * GELU->ReLU swap is a config flag (`ff_activation='geglu-relu'`), not module
+    surgery (reference: sparsity/relufy_model.py:28-40, train_relufied_sd.py:759)
+  * selective fine-tuning = optax.masked over param-path regexes
+    (reference: adapters.py:73-103 `get_adapted_unet`)
+  * Accelerate DDP / ZeRO-3 -> jax.sharding over a ('dp','tp') mesh; grad psum
+    rides ICI (reference: train_relufied_sd.py:646-665, 1079)
+  * EMA, SNR-gamma loss weighting, grad clipping/accumulation, input perturbation
+    (reference: train_relufied_sd.py:691-696, 1060-1075, 1083-1089, 1020-1037)
+  * checkpoint save/resume with rotation via orbax
+    (reference: train_relufied_sd.py:976-1000, 1098-1127)
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from diffusion_models_moe_tpu.config import UNetConfig
+from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+from diffusion_models_moe_tpu.schedulers.common import NoiseTables
+
+# Selective fine-tuning methods (reference: adapters.py:73-103): regexes over
+# flattened param paths selecting which UNet params receive gradients.
+FT_METHODS = {
+    "full": [r".*"],
+    "attention": [r".*/attn\d/.*", r".*/(norm\d|norm)/.*"],
+    "norm": [r".*/(norm\d|norm|conv_norm_out)/.*", r".*norm.*"],
+    "bias": [r".*/bias$", r".*_bias$"],
+    "ff": [r".*/ff/.*"],
+    "norm_bias": [r".*norm.*", r".*/bias$", r".*_bias$"],
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    weight_decay: float = 1e-2
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    grad_accum_steps: int = 1
+    snr_gamma: Optional[float] = None       # e.g. 5.0
+    noise_offset: float = 0.0
+    input_perturbation: float = 0.0
+    ema_decay: float = 0.9999
+    use_ema: bool = True
+    ft_method: str = "full"
+    prediction_type: str = "epsilon"
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def trainable_mask(params, ft_method: str):
+    """Boolean pytree: which params train (reference: adapters.py:26-45 prints the
+    tunable-parameter share; here the mask is consumed by optax.masked)."""
+    pats = [re.compile(p) for p in FT_METHODS[ft_method]]
+
+    def decide(kp, _):
+        path = "/".join(getattr(k, "key", str(k)) for k in kp)
+        return any(p.match(path) for p in pats)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_optimizer(cfg: TrainConfig, params):
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                    eps=cfg.adam_eps, weight_decay=cfg.weight_decay),
+    )
+    if cfg.ft_method != "full":
+        tx = optax.masked(tx, trainable_mask(params, cfg.ft_method))
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
+    return tx
+
+
+def create_train_state(params, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params),
+                      ema_params=params if cfg.use_ema else None)
+
+
+def make_train_step(unet_cfg: UNetConfig, cfg: TrainConfig,
+                    tables: Optional[NoiseTables] = None):
+    """Returns step(state, batch, key) -> (state, metrics). batch:
+    {'latents': (B,h,w,4) VAE-encoded*scaled, 'text_emb': (B,S,D)}.
+
+    The noise-prediction objective matches the reference loop
+    (reference: train_relufied_sd.py:1012-1089): sample t ~ U[0, 1000), add noise,
+    predict eps, (SNR-weighted) MSE, clip, AdamW, EMA.
+    """
+    unet = UNet2DCondition(unet_cfg)
+    tables = tables or NoiseTables.create()
+    acp = jnp.asarray(tables.alphas_cumprod, jnp.float32)
+    n_train_t = tables.num_train_timesteps
+
+    def loss_fn(params, batch, key):
+        k_t, k_noise, k_pert = jax.random.split(key, 3)
+        latents = batch["latents"]
+        b = latents.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, n_train_t)
+        noise = jax.random.normal(k_noise, latents.shape)
+        if cfg.noise_offset > 0:
+            # per-sample channel-wise offset (reference: train_relufied_sd.py:1022-1027)
+            noise = noise + cfg.noise_offset * jax.random.normal(
+                k_pert, (b, 1, 1, latents.shape[-1]))
+        target_noise = noise
+        if cfg.input_perturbation > 0:
+            noise = noise + cfg.input_perturbation * jax.random.normal(
+                k_pert, noise.shape)
+        a = acp[t][:, None, None, None]
+        noisy = jnp.sqrt(a) * latents + jnp.sqrt(1 - a) * noise
+        pred = unet.apply({"params": params}, noisy, t, batch["text_emb"])
+        if cfg.prediction_type == "epsilon":
+            target = target_noise
+        else:  # v-prediction
+            target = jnp.sqrt(a) * target_noise - jnp.sqrt(1 - a) * latents
+        per_ex = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+        if cfg.snr_gamma is not None:
+            snr = acp[t] / (1 - acp[t])
+            w = jnp.minimum(snr, cfg.snr_gamma) / snr
+            per_ex = per_ex * w
+        return jnp.mean(per_ex)
+
+    def step(state: TrainState, batch, key):
+        this_tx = make_optimizer(cfg, state.params)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = this_tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if cfg.use_ema and ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
+                ema, params)
+        gnorm = optax.global_norm(grads)
+        return (TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state, ema_params=ema),
+                {"loss": loss, "grad_norm": gnorm})
+
+    return step
+
+
+# --------------------------------------------------------------- checkpointing
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    max_to_keep: int = 3) -> None:
+    """Orbax save with rotation (reference rotation logic:
+    train_relufied_sd.py:1100-1117 checkpoints_total_limit)."""
+    import orbax.checkpoint as ocp
+    with ocp.CheckpointManager(
+            ckpt_dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True)) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+
+
+def restore_checkpoint(ckpt_dir: str, template: TrainState) -> tuple[TrainState, int]:
+    """Resume from the latest step (reference: train_relufied_sd.py:976-1000)."""
+    import orbax.checkpoint as ocp
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            return template, 0
+        state = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state, int(step)

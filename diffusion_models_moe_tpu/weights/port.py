@@ -1,0 +1,238 @@
+"""Port HuggingFace SD1.x safetensors checkpoints into this framework's param trees.
+
+The reference downloads pipelines from the Hub at runtime (reference: utils.py:64-138
+`get_sd_model`); this environment has no network, so porting is offline: point these
+converters at a local `diffusers`-layout snapshot directory
+(unet/diffusion_pytorch_model.safetensors etc.) and get flax param pytrees.
+
+Layout conversions: torch Linear (out, in) -> flax (in, out); torch Conv
+(O, I, kh, kw) -> flax (kh, kw, I, O); NCHW -> NHWC handled by the models themselves.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+
+from diffusion_models_moe_tpu.config import (CLIPTextConfig, UNetConfig,
+                                             VAEConfig)
+
+
+def _load_safetensors(path: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _linear(sd, prefix, use_bias=True):
+    p = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if use_bias and f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _conv(sd, prefix):
+    w = sd[f"{prefix}.weight"]           # (O, I, kh, kw)
+    return {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _norm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _resnet(sd, p):
+    out = {"norm1": _norm(sd, f"{p}.norm1"), "conv1": _conv(sd, f"{p}.conv1"),
+           "norm2": _norm(sd, f"{p}.norm2"), "conv2": _conv(sd, f"{p}.conv2")}
+    if f"{p}.time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = _linear(sd, f"{p}.time_emb_proj")
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def _attention(sd, p):
+    out = {"to_q": _linear(sd, f"{p}.to_q", use_bias=False),
+           "to_k": _linear(sd, f"{p}.to_k", use_bias=False),
+           "to_v": _linear(sd, f"{p}.to_v", use_bias=False),
+           "to_out": _linear(sd, f"{p}.to_out.0")}
+    return out
+
+
+def _transformer2d(sd, p):
+    b = f"{p}.transformer_blocks.0"
+    ff_kernel = np.ascontiguousarray(sd[f"{b}.ff.net.2.weight"].T)  # (H, D)
+    return {
+        "norm": _norm(sd, f"{p}.norm"),
+        "proj_in": _linear(sd, f"{p}.proj_in"),
+        "proj_out": _linear(sd, f"{p}.proj_out"),
+        "transformer_blocks_0": {
+            "norm1": _norm(sd, f"{b}.norm1"),
+            "norm2": _norm(sd, f"{b}.norm2"),
+            "norm3": _norm(sd, f"{b}.norm3"),
+            "attn1": _attention(sd, f"{b}.attn1"),
+            "attn2": _attention(sd, f"{b}.attn2"),
+            "ff": {
+                "proj": _linear(sd, f"{b}.ff.net.0.proj"),
+                "out_proj_kernel": ff_kernel,
+                "out_proj_bias": sd[f"{b}.ff.net.2.bias"],
+            },
+        },
+    }
+
+
+def port_unet(snapshot_dir: str, cfg: UNetConfig) -> dict:
+    """diffusers UNet2DConditionModel safetensors -> UNet2DCondition params.
+
+    Requires 1x1 proj_in/out (SD1.x uses Linear there in modern diffusers; older
+    conv1x1 checkpoints are squeezed)."""
+    path = os.path.join(snapshot_dir, "diffusion_pytorch_model.safetensors")
+    sd = _squeeze_proj(_load_safetensors(path))
+    params: dict = {
+        "conv_in": _conv(sd, "conv_in"),
+        "conv_out": _conv(sd, "conv_out"),
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "time_embedding": {
+            "linear_1": _linear(sd, "time_embedding.linear_1"),
+            "linear_2": _linear(sd, "time_embedding.linear_2"),
+        },
+    }
+    for i, kind in enumerate(cfg.down_block_types):
+        for j in range(cfg.layers_per_block):
+            params[f"down_{i}_res_{j}"] = _resnet(sd, f"down_blocks.{i}.resnets.{j}")
+            if kind == "cross":
+                params[f"down_{i}_attn_{j}"] = _transformer2d(
+                    sd, f"down_blocks.{i}.attentions.{j}")
+        if i < len(cfg.down_block_types) - 1:
+            params[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"down_blocks.{i}.downsamplers.0.conv")}
+    params["mid_res_0"] = _resnet(sd, "mid_block.resnets.0")
+    params["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
+    params["mid_attn_0"] = _transformer2d(sd, "mid_block.attentions.0")
+    for i, kind in enumerate(cfg.up_block_types):
+        for j in range(cfg.layers_per_block + 1):
+            params[f"up_{i}_res_{j}"] = _resnet(sd, f"up_blocks.{i}.resnets.{j}")
+            if kind == "cross":
+                params[f"up_{i}_attn_{j}"] = _transformer2d(
+                    sd, f"up_blocks.{i}.attentions.{j}")
+        if i < len(cfg.up_block_types) - 1:
+            params[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")}
+    return params
+
+
+def _squeeze_proj(sd: dict) -> dict:
+    """Old-layout checkpoints store Transformer2D proj_in/out as 1x1 convs;
+    squeeze them to linears."""
+    out = {}
+    for k, v in sd.items():
+        if (("proj_in.weight" in k or "proj_out.weight" in k)
+                and v.ndim == 4):
+            v = v[:, :, 0, 0]
+        out[k] = v
+    return out
+
+
+def port_clip_text(snapshot_dir: str, cfg: CLIPTextConfig) -> dict:
+    """transformers CLIPTextModel safetensors -> CLIPTextEncoder params."""
+    path = os.path.join(snapshot_dir, "model.safetensors")
+    sd = _load_safetensors(path)
+    pre = "text_model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = ""
+    params = {
+        "token_embedding": {
+            "embedding": sd[f"{pre}embeddings.token_embedding.weight"]},
+        "position_embedding":
+            sd[f"{pre}embeddings.position_embedding.weight"],
+        "final_layer_norm": _norm(sd, f"{pre}final_layer_norm"),
+    }
+    heads, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+
+    def mha(p):
+        def split_heads(w):   # (in, out) -> (in, heads, head_dim)
+            return w.reshape(w.shape[0], heads, hd)
+
+        out = {}
+        for name in ("q", "k", "v"):
+            lin = _linear(sd, f"{p}.{name}_proj")
+            out[f"{name}uery" if name == "q" else
+                "key" if name == "k" else "value"] = {
+                "kernel": split_heads(lin["kernel"]),
+                "bias": lin["bias"].reshape(heads, hd)}
+        lin = _linear(sd, f"{p}.out_proj")
+        out["out"] = {"kernel": lin["kernel"].reshape(heads, hd, -1),
+                      "bias": lin["bias"]}
+        return out
+
+    for i in range(cfg.num_layers):
+        lp = f"{pre}encoder.layers.{i}"
+        fc2 = _linear(sd, f"{lp}.mlp.fc2")
+        params[f"layers_{i}"] = {
+            "layer_norm1": _norm(sd, f"{lp}.layer_norm1"),
+            "layer_norm2": _norm(sd, f"{lp}.layer_norm2"),
+            "self_attn": mha(f"{lp}.self_attn"),
+            "mlp": {"fc1": _linear(sd, f"{lp}.mlp.fc1"),
+                    "fc2_kernel": fc2["kernel"],
+                    "fc2_bias": fc2["bias"]},
+        }
+    return params
+
+
+def port_vae_decoder(snapshot_dir: str, cfg: VAEConfig) -> dict:
+    """diffusers AutoencoderKL safetensors -> VAEDecoder params."""
+    path = os.path.join(snapshot_dir, "diffusion_pytorch_model.safetensors")
+    sd = _load_safetensors(path)
+
+    def attn(p):
+        # modern diffusers uses to_q/to_k/to_v/to_out.0; old uses query/key/value
+        if f"{p}.to_q.weight" in sd:
+            names = ("to_q", "to_k", "to_v", "to_out.0")
+        else:
+            names = ("query", "key", "value", "proj_attn")
+        def sq(prefix):
+            lin = {"kernel": sd[f"{prefix}.weight"],
+                   "bias": sd[f"{prefix}.bias"]}
+            w = lin["kernel"]
+            if w.ndim == 4:
+                w = w[:, :, 0, 0]
+            return {"kernel": np.ascontiguousarray(w.T), "bias": lin["bias"]}
+        return {"group_norm": _norm(sd, f"{p}.group_norm"),
+                "to_q": sq(f"{p}.{names[0]}"), "to_k": sq(f"{p}.{names[1]}"),
+                "to_v": sq(f"{p}.{names[2]}"), "to_out": sq(f"{p}.{names[3]}")}
+
+    dec = "decoder."
+    params = {
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+        "conv_in": _conv(sd, f"{dec}conv_in"),
+        "conv_out": _conv(sd, f"{dec}conv_out"),
+        "conv_norm_out": _norm(sd, f"{dec}conv_norm_out"),
+        "mid": {
+            "res_0": _resnet(sd, f"{dec}mid_block.resnets.0"),
+            "res_1": _resnet(sd, f"{dec}mid_block.resnets.1"),
+            "attn": attn(f"{dec}mid_block.attentions.0"),
+        },
+    }
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block + 1):
+            params[f"up_{i}_res_{j}"] = _resnet(
+                sd, f"{dec}up_blocks.{i}.resnets.{j}")
+        if i < n_blocks - 1:
+            params[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"{dec}up_blocks.{i}.upsamplers.0.conv")}
+    return params
+
+
+def port_pipeline(snapshot_root: str, config) -> dict:
+    """Port a full SD snapshot: {root}/unet, {root}/text_encoder, {root}/vae."""
+    return {
+        "unet": port_unet(os.path.join(snapshot_root, "unet"), config.unet),
+        "text_encoder": port_clip_text(
+            os.path.join(snapshot_root, "text_encoder"), config.text_encoder),
+        "vae": port_vae_decoder(os.path.join(snapshot_root, "vae"), config.vae),
+    }

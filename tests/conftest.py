@@ -1,11 +1,16 @@
 """Test harness: virtual 8-device CPU mesh so multi-chip sharding logic is
-exercised without TPUs (SURVEY.md §4 rebuild implication)."""
+exercised without TPUs (SURVEY.md §4 rebuild implication).
+
+Note: this image's axon plugin overrides JAX_PLATFORMS at import time
+(jax.config.jax_platforms becomes 'axon,cpu'), so the env var alone is not
+enough — jax.config must be updated after import, before backend init.
+"""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -84,10 +84,10 @@ def test_prediction_accuracy_selector():
 def test_wanda_selector():
     rng = np.random.RandomState(5)
     t, d, h = 3, 6, 10
-    w2 = np.abs(rng.randn(d, h))
+    w2 = np.ones((d, h))
     base_n = np.abs(rng.randn(t, h))
     adj_n = base_n.copy()
-    adj_n[:, 0] *= 10.0
+    adj_n[:, 0] = base_n[:, 0] * 100.0 + 10.0
     skilled = wanda_skilled(w2, base_n, adj_n, skill_ratio=0.1)  # top-1 per row
     assert skilled.shape == (t, d, h)
     assert skilled[..., 0].all()

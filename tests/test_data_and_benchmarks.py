@@ -1,0 +1,149 @@
+"""Tests: prompt pairing, tokenizer, FID math, CLIP metrics, nudity counting."""
+import json
+
+import numpy as np
+import pytest
+
+from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+    ConceptChecker, MemorizedPromptChecker, checker_accuracy,
+    debias_success_rates, gender_ratio, removal_accuracy)
+from diffusion_models_moe_tpu.benchmarks.fid import (FeatureStats,
+                                                     fid_from_features,
+                                                     frechet_distance)
+from diffusion_models_moe_tpu.benchmarks.memorization import (
+    memorization_scores, similarity_matrix)
+from diffusion_models_moe_tpu.benchmarks.nudity import (HARMFUL_LABELS,
+                                                        count_harmful)
+from diffusion_models_moe_tpu.data.prompts import (concept_prompts,
+                                                   validation_prompts)
+from diffusion_models_moe_tpu.data.tokenizer import CLIPTokenizer
+
+
+# ------------------------------------------------------------------- prompts
+def test_concept_prompt_classes():
+    p = concept_prompts("white")
+    assert p.base[0] == "a cat" and p.concept[0] == "a white cat"
+    p = concept_prompts("Van Gogh")
+    assert p.concept[0] == "a cat in the style of Van Gogh"
+    assert p.base[0] == "a photo of a cat"
+    p = concept_prompts("naked")
+    assert p.is_nsfw and "naked" in p.concept[0]
+    p = concept_prompts("nudity")
+    assert p.is_nsfw and len(p.base) == len(p.concept)
+    p = concept_prompts("memorize_0", captions=["some memorized caption"])
+    assert p.base == [""] and p.concept == ["some memorized caption"]
+    p = concept_prompts("church")
+    assert "side of the road" in p.concept[0]
+    v = validation_prompts("Monet")
+    assert "in the style of Monet" in v.concept[0]
+
+
+# ------------------------------------------------------------------ tokenizer
+@pytest.fixture()
+def toy_tokenizer(tmp_path):
+    # toy vocab: bytes-to-unicode of ascii letters + merged tokens
+    from diffusion_models_moe_tpu.data.tokenizer import _bytes_to_unicode
+    b2u = _bytes_to_unicode()
+    words = ["a", "cat", "dog", "photo", "of"]
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    merges = []
+    for w in words:
+        chars = [b2u[b] for b in w.encode()]
+        chars[-1] += "</w>"
+        for c in chars:
+            if c not in vocab:
+                vocab[c] = len(vocab)
+        # merges to combine the full word left-to-right
+        while len(chars) > 1:
+            merges.append((chars[0], chars[1]))
+            chars = [chars[0] + chars[1]] + chars[2:]
+            if chars[0] not in vocab:
+                vocab[chars[0]] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    return CLIPTokenizer.from_dir(str(tmp_path), max_length=8)
+
+
+def test_tokenizer_roundtrip(toy_tokenizer):
+    tok = toy_tokenizer
+    ids = tok(["a photo of a cat", "a dog"])
+    assert ids.shape == (2, 8)
+    assert (ids[:, 0] == tok.bos).all()
+    inv = {v: k for k, v in tok.encoder.items()}
+    decoded = [inv[i] for i in ids[0] if i not in (tok.bos, tok.eos)]
+    assert decoded == ["a</w>", "photo</w>", "of</w>", "a</w>", "cat</w>"]
+    # deterministic + eos-padded
+    np.testing.assert_array_equal(ids, tok(["a photo of a cat", "a dog"]))
+    assert ids[1, -1] == tok.eos
+
+
+# ------------------------------------------------------------------------ FID
+def test_fid_identical_is_zero():
+    rng = np.random.RandomState(0)
+    x = rng.randn(500, 16)
+    assert abs(fid_from_features(x, x.copy())) < 1e-6
+
+
+def test_fid_increases_with_shift():
+    rng = np.random.RandomState(1)
+    x = rng.randn(800, 8)
+    near = x + 0.1 * rng.randn(800, 8)
+    far = x + 3.0
+    assert fid_from_features(x, near) < fid_from_features(x, far)
+
+
+def test_streaming_stats_match_direct():
+    rng = np.random.RandomState(2)
+    x = rng.randn(300, 5)
+    s = FeatureStats()
+    for chunk in np.split(x, 3):
+        s.update(chunk)
+    mu, cov = s.finalize()
+    np.testing.assert_allclose(mu, x.mean(0), atol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(x, rowvar=False), atol=1e-12)
+
+
+# ---------------------------------------------------------------- clip metrics
+def test_removal_accuracy_and_gender():
+    assert removal_accuracy([0.9, 0.8], [0.5, 0.9]) == 0.5
+    man = np.array([1.0, 0.0]); woman = np.array([0.0, 1.0])
+    embs = np.array([[0.9, 0.1], [0.2, 0.8], [0.1, 0.9]])
+    r = gender_ratio(embs, man, woman)
+    assert r["woman_frac"] == pytest.approx(2 / 3)
+    d = debias_success_rates([0, 0, 1], [1, 0, 1])
+    assert d["m2f"] == 0.5 and d["f2m"] == 0.0
+
+
+def test_concept_checkers():
+    c = ConceptChecker("van gogh", np.array([1.0, 0.0]), np.array([0.0, 1.0]),
+                       margin=0.1)
+    embs = np.array([[0.9, 0.1], [0.1, 0.9]])
+    np.testing.assert_array_equal(c(embs), [True, False])
+    assert checker_accuracy(c, embs, [True, False]) == 1.0
+    m = MemorizedPromptChecker(["The Exact Caption"])
+    np.testing.assert_array_equal(m(["the exact caption", "other"]),
+                                  [True, False])
+
+
+# --------------------------------------------------------------------- nudity
+def test_nudity_counting():
+    dets = [
+        [(HARMFUL_LABELS[0], 0.9), ("FACE_FEMALE", 0.99)],
+        [(HARMFUL_LABELS[0], 0.3)],          # below threshold
+        [(HARMFUL_LABELS[1], 0.7), (HARMFUL_LABELS[2], 0.8)],
+        [],
+    ]
+    r = count_harmful(dets)
+    assert r["total_exposed_labels"] == 3
+    assert r["prompts_with_nudity"] == 2
+    assert r["n_prompts"] == 4
+
+
+# --------------------------------------------------------------- memorization
+def test_memorization_scores():
+    a = np.eye(3)
+    scores = memorization_scores(a, a)
+    assert scores["mean_similarity"] == 1.0
+    sim = similarity_matrix(a, a)
+    np.testing.assert_allclose(sim, np.eye(3))

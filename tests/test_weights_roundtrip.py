@@ -1,0 +1,39 @@
+"""Structural roundtrip: flax params -> diffusers safetensors -> flax params."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_models_moe_tpu import tiny_config
+from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+from diffusion_models_moe_tpu.weights.export import (export_unet,
+                                                     save_safetensors)
+from diffusion_models_moe_tpu.weights.port import port_unet
+
+
+def test_unet_export_port_roundtrip(tmp_path):
+    cfg = tiny_config().unet
+    unet = UNet2DCondition(cfg)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, cfg.cross_attention_dim))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,), jnp.int32),
+                       ctx)["params"]
+    sd = export_unet(params, cfg)
+    # diffusers-style names present
+    assert "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.weight" in sd
+    assert "mid_block.attentions.0.transformer_blocks.0.ff.net.2.weight" in sd
+    save_safetensors(sd, str(tmp_path / "diffusion_pytorch_model.safetensors"))
+    ported = port_unet(str(tmp_path), cfg)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(ported)[0])
+    b_by_path = {tuple(str(k) for k in kp): v for kp, v in flat_b.items()}
+    assert len(flat_a) == len(b_by_path)
+    for kp, va in flat_a:
+        key = tuple(str(k) for k in kp)
+        vb = b_by_path[key]
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=0,
+                                   err_msg=str(key))
+    # ported tree must drive the model
+    out = unet.apply({"params": ported}, lat, jnp.zeros((1,), jnp.int32), ctx)
+    out0 = unet.apply({"params": params}, lat, jnp.zeros((1,), jnp.int32), ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-6)
