@@ -17,9 +17,15 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
 
 REFERENCE_HOOKED_IMGS_PER_SEC = 0.25
 
@@ -29,14 +35,21 @@ def main(batch: int = 4, steps: int = 50, runs: int = 3):
     from diffusion_models_moe_tpu.moefication.moefy import build_moe_interventions
     from diffusion_models_moe_tpu.taps import layer_name
 
+    import dataclasses
     cfg = sd15_config(dtype=jnp.bfloat16)
+    if os.environ.get("DMOE_FUSED", "1") == "0":
+        cfg = dataclasses.replace(
+            cfg, unet=dataclasses.replace(cfg.unet, use_fused_routing=False))
     pipe = StableDiffusionPipeline(cfg)
-    params = pipe.init_params(jax.random.PRNGKey(0))
+    t_p = time.perf_counter()
+    params = jax.block_until_ready(pipe.init_params(jax.random.PRNGKey(0)))
+    print(f"# init_params {time.perf_counter()-t_p:.1f}s", file=sys.stderr)
 
     rng = np.random.RandomState(0)
     labels = {layer_name(i): rng.permutation(np.arange(4 * d) % ((4 * d) // 20))
               for i, d in enumerate(cfg.unet.ff_dims())}
     ivs = build_moe_interventions(labels, topk_ratio=0.3)
+    print("# interventions built", file=sys.stderr)
 
     tcfg = cfg.text_encoder
     cond = jax.random.randint(jax.random.PRNGKey(1), (batch, tcfg.max_length),
@@ -46,13 +59,17 @@ def main(batch: int = 4, steps: int = 50, runs: int = 3):
     def run(key):
         img, _ = pipe.generate(params, cond, uncond, key, num_steps=steps,
                                ivs=ivs)
-        return img
+        # force a real host fetch: through remote-device tunnels
+        # block_until_ready can return before execution finishes
+        return np.asarray(jax.device_get(img))
 
     # warmup/compile
-    run(jax.random.PRNGKey(2)).block_until_ready()
+    t_c = time.perf_counter()
+    run(jax.random.PRNGKey(2))
+    print(f"# warmup (compile) {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(runs):
-        run(jax.random.PRNGKey(3 + i)).block_until_ready()
+        run(jax.random.PRNGKey(3 + i))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * runs / dt

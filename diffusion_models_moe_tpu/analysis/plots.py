@@ -1,0 +1,93 @@
+"""Plotting helpers for analysis artifacts.
+
+Rebuild of the reference's matplotlib plot scripts (reference:
+moefication/plot_freq_counter.py, sparsity/plot_sparsity.py, notebooks/ FID/CLIP
+curves). All functions take artifact dicts/paths and write PNGs; matplotlib is
+imported lazily so headless/compute-only environments never pay for it.
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_expert_frequency(freq: dict, out_path: str,
+                          timestep: Optional[int] = None) -> None:
+    """{layer: (T, E) selection frequency} -> heat/bar figure per layer
+    (reference: moefication/plot_freq_counter.py)."""
+    plt = _plt()
+    layers = sorted(int(l) for l in freq)
+    fig, axes = plt.subplots(4, 4, figsize=(16, 10))
+    for ax, l in zip(axes.ravel(), layers):
+        arr = np.asarray(freq[l] if l in freq else freq[str(l)])
+        if timestep is None:
+            ax.imshow(arr, aspect="auto", cmap="viridis")
+            ax.set_ylabel("t")
+        else:
+            ax.bar(np.arange(arr.shape[-1]), arr[timestep])
+        ax.set_title(f"layer {l}", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def plot_sparsity(sparsity: dict, out_path: str) -> None:
+    """{layer: (T,) zero fraction} -> per-layer curves over timesteps
+    (reference: sparsity/plot_sparsity.py)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for l in sorted(sparsity, key=int):
+        ax.plot(np.asarray(sparsity[l]), label=f"L{l}", alpha=0.7)
+    ax.set_xlabel("denoise step")
+    ax.set_ylabel("fraction of exact zeros")
+    ax.legend(ncol=4, fontsize=6)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def plot_metric_vs_threshold(results: Sequence[tuple], out_path: str,
+                             xlabel: str = "confidence",
+                             ylabel: str = "metric") -> None:
+    """[(threshold, value), ...] sweep curves (the FID-vs-conf / CLIP-vs-conf
+    notebook plots)."""
+    plt = _plt()
+    xs, ys = zip(*sorted(results))
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(xs, ys, marker="o")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def unet_parameter_census(unet_params: dict) -> dict:
+    """Share of UNet parameters in FF blocks vs attention vs convs
+    (reference: notebooks/unet_parameters.py:10-26)."""
+    import jax
+    groups = {"ff": 0, "attention": 0, "conv_resnet": 0, "other": 0}
+    total = 0
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(unet_params)[0]:
+        path = "/".join(getattr(k, "key", str(k)) for k in kp)
+        n = int(np.prod(leaf.shape))
+        total += n
+        if "/ff/" in path:
+            groups["ff"] += n
+        elif "attn" in path:
+            groups["attention"] += n
+        elif "res" in path or "conv" in path or "sample" in path:
+            groups["conv_resnet"] += n
+        else:
+            groups["other"] += n
+    return {"total": total,
+            **{k: {"params": v, "share": v / total} for k, v in groups.items()}}

@@ -55,7 +55,7 @@ class UNet2DCondition(nn.Module):
                 dim=dim, heads=heads, context_dim=cfg.cross_attention_dim,
                 ff_index=ff_index, norm_num_groups=cfg.norm_num_groups,
                 ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
-                dtype=dt, name=name)
+                dtype=dt, use_fused_routing=cfg.use_fused_routing, name=name)
 
         tkw = dict(step_idx=step_idx, tap=tap, ivs=ivs)
         ff_index = 0

@@ -94,6 +94,12 @@ def balanced_kmeans(x: np.ndarray, n_clusters: int, *, n_iter: int = 25,
                 -np.log(np.maximum(plan, 1e-300)), size)
         elif method == "greedy":
             new_labels = _greedy_balanced_assign(dist, size)
+        elif method == "exact":
+            # native min-cost-flow solver: optimal assignment each iteration,
+            # matching the reference's k_means_constrained behavior
+            from diffusion_models_moe_tpu.moefication.native import (
+                exact_balanced_assign)
+            new_labels = exact_balanced_assign(dist, size)
         else:
             raise ValueError(method)
         if labels is not None and np.array_equal(new_labels, labels):

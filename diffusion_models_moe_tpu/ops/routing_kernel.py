@@ -31,21 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 from diffusion_models_moe_tpu.taps import routing_mask
 
 
+_L_CHUNK = 32  # expert chunk for the rank-count broadcast (bounds VMEM)
+
+
 def _routing_kernel(hidden_ref, gate_ref, patterns_ref, out_ref, *, k: int):
     gate = gate_ref[:]                                   # (TN, H)
     patterns = patterns_ref[:]                           # (E, H)
     score = jax.lax.dot_general(
-        gate.astype(jnp.float32), patterns.astype(jnp.float32),
+        gate, patterns,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (TN, E)
-    # exact top-k selection by strict-rank counting (no sort):
-    # beat[e] = #experts with strictly greater score; selected iff beat < k
-    beats = jnp.sum(
-        (score[:, :, None] < score[:, None, :]).astype(jnp.float32),
-        axis=-1)                                         # (TN, E)
-    sel = (beats < float(k)).astype(jnp.float32)
+        preferred_element_type=jnp.float32)              # (TN, E), f32 accum
+    # Exact top-k selection by strict-rank counting (sort/top_k don't lower in
+    # Mosaic): beats[j] = #experts with strictly greater score; selected iff
+    # beats < k. The (TN, Lc, E) compare is chunked over the outer expert axis
+    # so the broadcast stays within VMEM and the last dim stays lane-aligned.
+    e = score.shape[1]
+    beats = jnp.zeros_like(score)
+    for c in range(0, e, _L_CHUNK):
+        blk = score[:, c:c + _L_CHUNK]                   # (TN, Lc)
+        beats = beats + jnp.sum(
+            (blk[:, :, None] > score[:, None, :]).astype(jnp.float32), axis=1)
+    sel = (beats < float(k)).astype(patterns.dtype)
     mask = jax.lax.dot_general(
-        sel, patterns.astype(jnp.float32),
+        sel, patterns,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (TN, H)
     out_ref[:] = (hidden_ref[:] * gate * mask.astype(gate.dtype)).astype(
@@ -53,13 +61,16 @@ def _routing_kernel(hidden_ref, gate_ref, patterns_ref, out_ref, *, k: int):
 
 
 def _pick_token_tile(n: int, h: int, e: int, itemsize: int,
-                     budget: int = 13 * 2 ** 20) -> int:
+                     budget: int = 12 * 2 ** 20) -> int:
     """Largest token tile (multiple of 8, <=512) fitting the VMEM budget:
-    double-buffered hidden/gate/out tiles + resident patterns + score/beats."""
+    double-buffered hidden/gate/out tiles, resident patterns, score/beats/sel,
+    the chunked rank-count broadcast, and the mask."""
     for tn in (512, 256, 128, 64, 32, 16, 8):
         est = (2 * 3 * tn * h * itemsize       # pipelined in/out blocks
                + e * h * itemsize              # patterns (resident)
-               + 3 * tn * e * 4)               # score + selection scratch
+               + 3 * tn * e * 4                # score + beats + sel
+               + tn * _L_CHUNK * e * 4         # rank-count broadcast chunk
+               + tn * h * 4)                   # mask (f32 accum)
         if est <= budget:
             return tn
     return 8

@@ -67,18 +67,26 @@ class StableDiffusionPipeline:
 
     # ------------------------------------------------------------------ params
     def init_params(self, key: jax.Array) -> dict:
+        # One jit for the whole init: eager per-op dispatch is pathologically slow
+        # through remote-device tunnels (hundreds of tiny RPCs otherwise).
         cfg = self.config
-        k1, k2, k3 = jax.random.split(key, 3)
-        s = cfg.sample_size
-        lat = jnp.zeros((1, s, s, cfg.unet.sample_channels), jnp.float32)
-        ids = jnp.zeros((1, cfg.text_encoder.max_length), jnp.int32)
-        ctx = jnp.zeros((1, cfg.text_encoder.max_length,
-                         cfg.unet.cross_attention_dim), jnp.float32)
-        return {
-            "unet": self.unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx)["params"],
-            "text_encoder": self.text_encoder.init(k2, ids)["params"],
-            "vae": self.vae_decoder.init(k3, lat)["params"],
-        }
+
+        @jax.jit
+        def init_all(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            s = cfg.sample_size
+            lat = jnp.zeros((1, s, s, cfg.unet.sample_channels), jnp.float32)
+            ids = jnp.zeros((1, cfg.text_encoder.max_length), jnp.int32)
+            ctx = jnp.zeros((1, cfg.text_encoder.max_length,
+                             cfg.unet.cross_attention_dim), jnp.float32)
+            return {
+                "unet": self.unet.init(k1, lat, jnp.zeros((1,), jnp.int32),
+                                       ctx)["params"],
+                "text_encoder": self.text_encoder.init(k2, ids)["params"],
+                "vae": self.vae_decoder.init(k3, lat)["params"],
+            }
+
+        return init_all(key)
 
     # ------------------------------------------------------------------ text
     def encode_text(self, params, input_ids, tap: Optional[TapSpec] = None,
