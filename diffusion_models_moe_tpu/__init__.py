@@ -1,7 +1,7 @@
 """TPU-native rebuild of `ruchikachavhan/diffusion-models-moe` (see SURVEY.md)."""
 from diffusion_models_moe_tpu.config import (PipelineConfig, UNetConfig,
                                              CLIPTextConfig, VAEConfig,
-                                             sd15_config, tiny_config)
+                                             sd15_config, sd21_config, tiny_config)
 from diffusion_models_moe_tpu.taps import (TapSpec, LayerIntervention,
                                            Interventions, no_interventions,
                                            routing_mask, patterns_from_labels,

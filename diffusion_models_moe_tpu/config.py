@@ -27,7 +27,9 @@ class UNetConfig:
     up_block_types: Sequence[str] = ("plain", "cross", "cross", "cross")
     layers_per_block: int = 2
     cross_attention_dim: int = 768
-    attention_head_dim: int = 8          # number of heads for SD1.x
+    # Number of attention heads: one int for all blocks (SD1.x: 8) or a
+    # per-block tuple (SD2.x: (5, 10, 20, 20) -> 64-dim heads).
+    attention_head_dim: Any = 8
     norm_num_groups: int = 32
     ff_mult: int = 4
     ff_activation: str = "geglu"         # "geglu" | "geglu-relu" (ReLUfied) | "gelu"
@@ -35,6 +37,8 @@ class UNetConfig:
     # but measured ~30% slower than XLA's fused top_k routing at SD shapes (the
     # O(E^2) rank-count dominates); default off until the full-FFN fusion lands.
     use_fused_routing: bool = False
+    # LCM guidance-scale conditioning width (0 = disabled; LCM models use 256)
+    time_cond_proj_dim: int = 0
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     dtype: Any = jnp.float32             # compute dtype
@@ -51,6 +55,10 @@ class UNetConfig:
             if kind == "cross":
                 n += self.layers_per_block + 1
         return n
+
+    def heads_for_block(self, block_idx: int) -> int:
+        h = self.attention_head_dim
+        return h if isinstance(h, int) else h[block_idx]
 
     def ff_dims(self) -> list[int]:
         """Model dim of each GEGLU FF layer in canonical (execution) order.
@@ -105,6 +113,7 @@ class PipelineConfig:
     guidance_scale: float = 7.5
     num_inference_steps: int = 50
     scheduler: str = "pndm"              # "ddim" | "pndm" | "euler" | "dpm" | "lcm"
+    prediction_type: str = "epsilon"     # "epsilon" | "v_prediction" (SD2.1-768)
     # NSFW handling: the reference monkey-patches the safety checker off by default
     # (reference: neuron_receivers/base_receiver.py:7-8,20-23). Here safety filtering is
     # an explicit opt-in flag; `blur_nsfw` reproduces the blur-if-nsfw output policy
@@ -120,6 +129,23 @@ def sd15_config(dtype=jnp.bfloat16, relufied: bool = False) -> PipelineConfig:
                         ff_activation="geglu-relu" if relufied else "geglu"),
         text_encoder=CLIPTextConfig(dtype=dtype),
         vae=VAEConfig(dtype=dtype),
+    )
+
+
+def sd21_config(dtype=jnp.bfloat16, v_prediction: bool = True) -> PipelineConfig:
+    """Stable Diffusion 2.1 geometry: 1024-dim OpenCLIP text conditioning,
+    64-dim attention heads, v-prediction at 768px (reference loads SD2/2.1 as
+    comparison baselines: utils.py:64-138, benchmarks/i2p_eval.py:134-194)."""
+    return PipelineConfig(
+        unet=UNetConfig(cross_attention_dim=1024,
+                        attention_head_dim=(5, 10, 20, 20), dtype=dtype),
+        text_encoder=CLIPTextConfig(hidden_size=1024, intermediate_size=4096,
+                                    num_layers=23, num_heads=16,
+                                    hidden_act="gelu", dtype=dtype),
+        vae=VAEConfig(dtype=dtype),
+        sample_size=96 if v_prediction else 64,
+        scheduler="ddim",
+        prediction_type="v_prediction" if v_prediction else "epsilon",
     )
 
 

@@ -29,6 +29,7 @@ class UNet2DCondition(nn.Module):
     @nn.compact
     def __call__(self, sample: jax.Array, timestep: jax.Array,
                  encoder_hidden_states: jax.Array, *,
+                 timestep_cond: Optional[jax.Array] = None,
                  step_idx: Optional[jax.Array] = None,
                  tap: Optional[TapSpec] = None,
                  ivs: Optional[Interventions] = None) -> jax.Array:
@@ -38,21 +39,26 @@ class UNet2DCondition(nn.Module):
         cfg = self.cfg
         dt = cfg.dtype
         channels = list(cfg.block_out_channels)
-        heads = cfg.attention_head_dim
 
         # --- time embedding ---------------------------------------------------
         temb = timestep_embedding(
             jnp.broadcast_to(jnp.atleast_1d(timestep), (sample.shape[0],)),
-            channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+            channels[0], cfg.flip_sin_to_cos, cfg.freq_shift).astype(dt)
+        if timestep_cond is not None:
+            # LCM guidance-scale conditioning (diffusers time_cond_proj)
+            temb = temb + nn.Dense(channels[0], use_bias=False, dtype=dt,
+                                   name="time_cond_proj")(
+                                       timestep_cond.astype(dt))
         temb = TimestepEmbedding(channels[0] * 4, dtype=dt,
-                                 name="time_embedding")(temb.astype(dt))
+                                 name="time_embedding")(temb)
 
         context = encoder_hidden_states.astype(dt)
         sample = sample.astype(dt)
 
-        def make_transformer(dim, ff_index, name):
+        def make_transformer(dim, ff_index, name, block_idx):
             return Transformer2D(
-                dim=dim, heads=heads, context_dim=cfg.cross_attention_dim,
+                dim=dim, heads=cfg.heads_for_block(block_idx),
+                context_dim=cfg.cross_attention_dim,
                 ff_index=ff_index, norm_num_groups=cfg.norm_num_groups,
                 ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
                 dtype=dt, use_fused_routing=cfg.use_fused_routing, name=name)
@@ -69,8 +75,8 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dt,
                                   name=f"down_{i}_res_{j}")(h, temb)
                 if kind == "cross":
-                    h = make_transformer(out_ch, ff_index,
-                                         f"down_{i}_attn_{j}")(h, context, **tkw)
+                    h = make_transformer(out_ch, ff_index, f"down_{i}_attn_{j}",
+                                         i)(h, context, **tkw)
                     ff_index += 1
                 res_stack.append(h)
             if i < len(cfg.down_block_types) - 1:
@@ -81,7 +87,8 @@ class UNet2DCondition(nn.Module):
         mid_ch = channels[-1]
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dt,
                           name="mid_res_0")(h, temb)
-        h = make_transformer(mid_ch, ff_index, "mid_attn_0")(h, context, **tkw)
+        h = make_transformer(mid_ch, ff_index, "mid_attn_0",
+                             len(channels) - 1)(h, context, **tkw)
         ff_index += 1
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dt,
                           name="mid_res_1")(h, temb)
@@ -96,8 +103,8 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dt,
                                   name=f"up_{i}_res_{j}")(h, temb)
                 if kind == "cross":
-                    h = make_transformer(out_ch, ff_index,
-                                         f"up_{i}_attn_{j}")(h, context, **tkw)
+                    h = make_transformer(out_ch, ff_index, f"up_{i}_attn_{j}",
+                                         len(channels) - 1 - i)(h, context, **tkw)
                     ff_index += 1
             if i < len(cfg.up_block_types) - 1:
                 h = Upsample2D(out_ch, dtype=dt, name=f"up_{i}_upsample")(h)

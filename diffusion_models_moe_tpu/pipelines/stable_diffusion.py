@@ -22,6 +22,7 @@ from diffusion_models_moe_tpu.models.unet import UNet2DCondition
 from diffusion_models_moe_tpu.models.vae import VAEDecoder
 from diffusion_models_moe_tpu.schedulers.ddim import DDIMScheduler
 from diffusion_models_moe_tpu.schedulers.euler import EulerDiscreteScheduler
+from diffusion_models_moe_tpu.schedulers.lcm import LCMScheduler
 from diffusion_models_moe_tpu.schedulers.dpm import DPMSolverScheduler
 from diffusion_models_moe_tpu.schedulers.pndm import PNDMScheduler
 from diffusion_models_moe_tpu.taps import Interventions, TapSpec
@@ -31,6 +32,7 @@ SCHEDULERS = {
     "pndm": PNDMScheduler,
     "euler": EulerDiscreteScheduler,
     "dpm": DPMSolverScheduler,
+    "lcm": LCMScheduler,
 }
 
 
@@ -79,9 +81,12 @@ class StableDiffusionPipeline:
             ids = jnp.zeros((1, cfg.text_encoder.max_length), jnp.int32)
             ctx = jnp.zeros((1, cfg.text_encoder.max_length,
                              cfg.unet.cross_attention_dim), jnp.float32)
+            tc = None
+            if cfg.unet.time_cond_proj_dim > 0:
+                tc = jnp.zeros((1, cfg.unet.time_cond_proj_dim), jnp.float32)
             return {
                 "unet": self.unet.init(k1, lat, jnp.zeros((1,), jnp.int32),
-                                       ctx)["params"],
+                                       ctx, timestep_cond=tc)["params"],
                 "text_encoder": self.text_encoder.init(k2, ids)["params"],
                 "vae": self.vae_decoder.init(k3, lat)["params"],
             }
@@ -103,14 +108,30 @@ class StableDiffusionPipeline:
     # ------------------------------------------------------------------ core
     def denoise(self, params, context, latents, num_steps: int,
                 guidance_scale: float, tap: Optional[TapSpec] = None,
-                ivs: Optional[Interventions] = None):
+                ivs: Optional[Interventions] = None, key=None):
         """Scanned CFG denoise. context: (2B, S, D) with uncond first
         (diffusers convention); latents: (B, h, w, c) ~ N(0,1) pre-scaled.
         Returns (final latents, taps pytree with (T,...) leaves or None)."""
-        timesteps, coeffs, state = self._setup_scheduler(num_steps, latents.shape)
-        do_cfg = guidance_scale > 1.0
+        timesteps, coeffs, state = self._setup_scheduler(
+            num_steps, latents.shape, key=key)
+        is_lcm = isinstance(self.scheduler, LCMScheduler)
+        # LCM embeds the guidance scale as conditioning instead of CFG
+        do_cfg = guidance_scale > 1.0 and not is_lcm
+        timestep_cond = None
+        if is_lcm and self.config.unet.time_cond_proj_dim > 0:
+            from diffusion_models_moe_tpu.models.layers import timestep_embedding
+            w = jnp.full((latents.shape[0],), (guidance_scale - 1.0) * 1000.0)
+            timestep_cond = timestep_embedding(
+                w, self.config.unet.time_cond_proj_dim,
+                flip_sin_to_cos=False, downscale_freq_shift=1.0)
         collect = tap is not None and any(
             getattr(tap, f.name) for f in tap.__dataclass_fields__.values())
+        v_pred = self.config.prediction_type == "v_prediction"
+        if v_pred:
+            # v -> eps conversion tables (SD2.1-768; eps = sqrt(a)v + sqrt(1-a)x)
+            acp = jnp.asarray(self.scheduler.tables.alphas_cumprod,
+                              jnp.float32)[timesteps]
+            v_sqrt_a, v_sqrt_1ma = jnp.sqrt(acp), jnp.sqrt(1.0 - acp)
 
         def body(carry, i):
             lat, sched_state = carry
@@ -120,15 +141,19 @@ class StableDiffusionPipeline:
             if collect:
                 eps, tap_tree = self.unet.apply(
                     {"params": params["unet"]}, lat_in, t, context,
-                    step_idx=i, tap=tap, ivs=ivs, mutable=["taps"])
+                    timestep_cond=timestep_cond, step_idx=i, tap=tap, ivs=ivs,
+                    mutable=["taps"])
                 ys = flatten_taps(tap_tree["taps"])
             else:
                 eps = self.unet.apply({"params": params["unet"]}, lat_in, t,
-                                      context, step_idx=i, ivs=ivs)
+                                      context, timestep_cond=timestep_cond,
+                                      step_idx=i, ivs=ivs)
                 ys = 0
             if do_cfg:
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
+            if v_pred:
+                eps = v_sqrt_a[i] * eps + v_sqrt_1ma[i] * lat
             sched_state, lat = self.scheduler.step(sched_state, coeffs, eps, i, lat)
             return (lat, sched_state), ys
 
@@ -136,11 +161,14 @@ class StableDiffusionPipeline:
             body, (latents, state), jnp.arange(timesteps.shape[0]))
         return latents, (taps if collect else None)
 
-    def _setup_scheduler(self, num_steps: int, sample_shape):
+    def _setup_scheduler(self, num_steps: int, sample_shape, key=None):
         out = self.scheduler.set_timesteps(num_steps)
         timesteps, coeffs, state = out
-        if state is None:  # PNDM carries multistep history
-            state = self.scheduler.init_state(sample_shape)
+        if state is None:  # multistep/stochastic schedulers carry state
+            if isinstance(self.scheduler, LCMScheduler):
+                state = self.scheduler.init_state(sample_shape, key=key)
+            else:
+                state = self.scheduler.init_state(sample_shape)
         return timesteps, coeffs, state
 
     # ------------------------------------------------------------------ full
@@ -173,13 +201,17 @@ class StableDiffusionPipeline:
             cond_emb, _ = self.encode_text(params, cond_ids, None, text_ivs)
             uncond_emb, text_taps = self.encode_text(params, uncond_ids, tap,
                                                      text_ivs)
-            context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
+            if isinstance(self.scheduler, LCMScheduler):
+                context = cond_emb        # guidance is embedded, not CFG
+            else:
+                context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
             s = cfg.sample_size
             latents = jax.random.normal(
                 key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
             latents = latents * self.scheduler.init_noise_sigma
+            key_lcm = jax.random.fold_in(key, 1)
             latents, taps = self.denoise(params, context, latents, num_steps,
-                                         guidance_scale, tap, ivs)
+                                         guidance_scale, tap, ivs, key=key_lcm)
             if text_taps:
                 taps = dict(taps or {}, **text_taps)
             if not decode:

@@ -1,0 +1,126 @@
+"""Scheduler correctness + model-variant (SD2.1 v-pred, LCM, DPM) smoke tests."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+from diffusion_models_moe_tpu.schedulers.common import NoiseTables
+from diffusion_models_moe_tpu.schedulers.ddim import DDIMScheduler
+from diffusion_models_moe_tpu.schedulers.dpm import DPMSolverScheduler
+from diffusion_models_moe_tpu.schedulers.euler import EulerDiscreteScheduler
+from diffusion_models_moe_tpu.schedulers.lcm import LCMScheduler
+from diffusion_models_moe_tpu.schedulers.pndm import PNDMScheduler
+
+
+def _denoise_pure_noise(scheduler, n_steps, shape=(1, 4, 4, 2), key=0):
+    """Run a scheduler against a fake 'perfect' model on a known signal:
+    x0 = 0 everywhere, so eps prediction == x_t / sqrt(1 - a_t). A correct
+    scheduler must drive the sample toward 0."""
+    out = scheduler.set_timesteps(n_steps)
+    timesteps, coeffs, state = out
+    if state is None:
+        if isinstance(scheduler, LCMScheduler):
+            state = scheduler.init_state(shape, key=jax.random.PRNGKey(key))
+        else:
+            state = scheduler.init_state(shape)
+    acp = np.asarray(scheduler.tables.alphas_cumprod)
+    x = jax.random.normal(jax.random.PRNGKey(key), shape) \
+        * scheduler.init_noise_sigma
+    for i in range(timesteps.shape[0]):
+        t = int(timesteps[i])
+        x_in = scheduler.scale_model_input(coeffs, i, x)
+        if isinstance(scheduler, EulerDiscreteScheduler):
+            sigma = float(coeffs["sigmas"][i])
+            eps = x / np.sqrt(sigma ** 2 + 1) * 0 + x_in / 1.0  # x = sigma*eps
+            eps = x / sigma
+        else:
+            eps = x / np.sqrt(max(1 - acp[min(t, 999)], 1e-8))
+        state, x = scheduler.step(state, coeffs, jnp.asarray(eps), i, x)
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize("sched_cls,steps", [
+    (DDIMScheduler, 10), (PNDMScheduler, 10), (DPMSolverScheduler, 10),
+    (EulerDiscreteScheduler, 10),
+])
+def test_scheduler_converges_to_x0(sched_cls, steps):
+    sched = sched_cls.create()
+    final = _denoise_pure_noise(sched, steps)
+    assert np.all(np.isfinite(final))
+    assert np.abs(final).max() < 0.2, f"{sched_cls.__name__}: {np.abs(final).max()}"
+
+
+def test_lcm_converges_to_x0():
+    final = _denoise_pure_noise(LCMScheduler.create(), 4)
+    assert np.all(np.isfinite(final))
+    assert np.abs(final).max() < 0.2
+
+
+def test_pndm_timesteps_duplicate():
+    ts, _, _ = PNDMScheduler.create().set_timesteps(50)
+    ts = np.asarray(ts)
+    assert ts.shape[0] == 51
+    assert ts[1] == ts[2]  # PLMS warm-up duplicates the 2nd-highest timestep
+
+
+def test_lcm_timesteps_subset_of_origin():
+    sched = LCMScheduler.create()
+    ts, _, _ = sched.set_timesteps(4)
+    origin = (np.arange(1, 51) * 20 - 1)
+    assert set(np.asarray(ts).tolist()) <= set(origin.tolist())
+
+
+def test_add_noise_and_snr():
+    tables = NoiseTables.create()
+    x = jnp.ones((2, 4, 4, 1))
+    noise = jnp.zeros_like(x)
+    t = jnp.asarray([0, 999])
+    noisy = tables.add_noise(x, noise, t)
+    acp = np.asarray(tables.alphas_cumprod)
+    np.testing.assert_allclose(np.asarray(noisy)[0, 0, 0, 0],
+                               np.sqrt(acp[0]), rtol=1e-5)
+    snr = np.asarray(tables.snr(t))
+    assert snr[0] > snr[1]
+
+
+def test_v_prediction_pipeline_runs():
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, scheduler="ddim",
+                              prediction_type="v_prediction")
+    pipe = StableDiffusionPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = cfg.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1), (1, tc.max_length), 0,
+                              tc.vocab_size)
+    img, _ = pipe.generate(params, cond, jnp.zeros_like(cond),
+                           jax.random.PRNGKey(2), num_steps=2)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_lcm_pipeline_with_guidance_embedding():
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, scheduler="lcm",
+        unet=dataclasses.replace(cfg.unet, time_cond_proj_dim=32))
+    pipe = StableDiffusionPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    assert "time_cond_proj" in params["unet"]
+    tc = cfg.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1), (1, tc.max_length), 0,
+                              tc.vocab_size)
+    img, _ = pipe.generate(params, cond, jnp.zeros_like(cond),
+                           jax.random.PRNGKey(2), num_steps=2,
+                           guidance_scale=8.0)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_sd21_config_geometry():
+    from diffusion_models_moe_tpu import sd21_config
+    cfg = sd21_config()
+    assert cfg.unet.heads_for_block(0) == 5
+    assert cfg.unet.heads_for_block(3) == 20
+    assert cfg.prediction_type == "v_prediction"
+    assert cfg.unet.n_ff_layers == 16
