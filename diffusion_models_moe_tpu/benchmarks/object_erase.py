@@ -1,0 +1,90 @@
+"""Object erasure evaluation: classification accuracy on erase vs keep prompt sets.
+
+Rebuild of the reference's imagenette protocol (reference:
+benchmarks/object_erase.py:18-100, 52-75 CustomDatasetErasure): generate images for
+the erased object's prompts and for the other (keep) objects' prompts, classify each
+image, and report top-1/top-5 accuracy on both splits — erasure succeeds when erase
+accuracy drops and keep accuracy survives.
+
+The classifier is pluggable: the built-in judge is zero-shot CLIP over the class
+names (native, on-TPU); the reference's ResNet-50/ViT-H judges can be injected as
+`classify(images) -> (B, n_classes) logits` when torchvision weights exist locally.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from diffusion_models_moe_tpu.data.prompts import IMAGENETTE
+
+
+def erase_keep_prompts(target: str,
+                       classes: Sequence[str] = tuple(IMAGENETTE),
+                       per_class: int = 10) -> tuple[list, list, list]:
+    """(erase_prompts, keep_prompts, keep_labels): photo prompts per class
+    (reference prompt format: benchmarks/object_erase.py)."""
+    erase = [f"a photo of a {target}"] * per_class
+    keep, keep_labels = [], []
+    for ci, c in enumerate(classes):
+        if c == target:
+            continue
+        keep += [f"a photo of a {c}"] * per_class
+        keep_labels += [ci] * per_class
+    return erase, keep, keep_labels
+
+
+def topk_accuracy(logits: np.ndarray, labels: Sequence[int],
+                  k: int = 1) -> float:
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    topk = np.argsort(-logits, axis=-1)[:, :k]
+    return float(np.mean([l in t for l, t in zip(labels, topk)]))
+
+
+def make_clip_zero_shot_classifier(image_encode: Callable,
+                                   class_text_embs: np.ndarray) -> Callable:
+    """images -> logits over classes via CLIP similarities (native judge)."""
+    def classify(images) -> np.ndarray:
+        emb = np.asarray(image_encode(images))
+        return 100.0 * emb @ np.asarray(class_text_embs).T
+
+    return classify
+
+
+def object_erasure_scores(classify: Callable,
+                          erased_images, keep_images,
+                          target_idx: int, keep_labels: Sequence[int]) -> dict:
+    """Erase/keep accuracy table (reference result shape:
+    benchmarks/object_erase.py top-1/top-5 on both splits)."""
+    er_logits = classify(erased_images)
+    kp_logits = classify(keep_images)
+    return {
+        "erase_top1": topk_accuracy(er_logits,
+                                    [target_idx] * len(er_logits), 1),
+        "erase_top5": topk_accuracy(er_logits,
+                                    [target_idx] * len(er_logits), 5),
+        "keep_top1": topk_accuracy(kp_logits, keep_labels, 1),
+        "keep_top5": topk_accuracy(kp_logits, keep_labels, 5),
+    }
+
+
+def load_torchvision_classifier(arch: str = "resnet50",
+                                weights_path: Optional[str] = None) -> Callable:
+    """Host-side torchvision judge when weights exist locally (the reference's
+    ResNet-50/ViT-H judges; reference: benchmarks/object_erase.py:77-100)."""
+    import torch
+    import torchvision.models as tvm  # type: ignore
+    model = getattr(tvm, arch)()
+    if weights_path:
+        model.load_state_dict(torch.load(weights_path, map_location="cpu"))
+    model.eval()
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def classify(images) -> np.ndarray:
+        x = torch.from_numpy(np.asarray(images, np.float32)).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            return model((x - mean) / std).numpy()
+
+    return classify

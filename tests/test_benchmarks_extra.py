@@ -1,0 +1,74 @@
+"""Tests: unified editing routing, dir scoring, object erasure protocol."""
+import numpy as np
+import pytest
+
+from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+    ConceptChecker, MemorizedPromptChecker)
+from diffusion_models_moe_tpu.benchmarks.object_erase import (
+    erase_keep_prompts, make_clip_zero_shot_classifier,
+    object_erasure_scores, topk_accuracy)
+from diffusion_models_moe_tpu.benchmarks.scores import (
+    clip_perceptual_distance, fid_between_dirs, list_image_pairs,
+    perceptual_between_dirs)
+from diffusion_models_moe_tpu.benchmarks.unified_editing import ConceptBank
+
+
+def test_concept_bank_routing():
+    bank = ConceptBank(
+        checkers={
+            "vangogh": ConceptChecker("vangogh", np.array([1.0, 0.0]),
+                                      np.array([0.0, 1.0]), margin=0.1),
+            "mem": MemorizedPromptChecker(["secret caption"]),
+        },
+        masks={"vangogh": {0: np.ones((2, 3), bool)},
+               "mem": {1: np.ones((2, 3), bool)}},
+    )
+    embs = np.array([[0.9, 0.1], [0.1, 0.9], [0.95, 0.0]])
+    prompts = ["starry night", "secret caption", "sunflowers"]
+    routes = bank.route(embs, prompts)
+    assert routes[0] == ("vangogh",)
+    assert routes[1] == ("mem",)
+    assert routes[2] == ("vangogh",)
+
+
+def test_dir_scoring(tmp_path):
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    a = tmp_path / "a"; a.mkdir()
+    for i in range(4):
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(a / f"sd_{i}.png")
+        Image.fromarray(255 - img).save(a / f"removed_{i}.png")
+    pairs = list_image_pairs(str(a), str(a))
+    assert len(pairs) == 4
+
+    def fake_featurize(images):
+        x = np.asarray(images).reshape(len(images), -1)
+        return x[:, :8]
+
+    fid = fid_between_dirs(str(a), str(a), fake_featurize, batch=2)
+    assert fid > 0  # inverted images differ
+    dist = clip_perceptual_distance(fake_featurize)
+    res = perceptual_between_dirs(str(a), str(a), dist, batch=2)
+    assert res["n"] == 4 and np.isfinite(res["mean"])
+
+
+def test_object_erasure_protocol():
+    erase, keep, keep_labels = erase_keep_prompts("church", per_class=2)
+    assert len(erase) == 2 and len(keep) == 18
+    assert all("church" not in p for p in keep)
+
+    # fake CLIP: image embedding == one-hot of its true class
+    class_embs = np.eye(10)
+
+    def image_encode(images):
+        return np.asarray(images)  # tests pass one-hot "images" directly
+
+    clf = make_clip_zero_shot_classifier(image_encode, class_embs)
+    erased_imgs = np.eye(10)[[1] * 4]     # erased model now makes class 1
+    keep_imgs = np.eye(10)[[2, 3, 4]]
+    scores = object_erasure_scores(clf, erased_imgs, keep_imgs,
+                                   target_idx=4, keep_labels=[2, 3, 4])
+    assert scores["erase_top1"] == 0.0        # target class gone
+    assert scores["keep_top1"] == 1.0
+    assert topk_accuracy(np.eye(3), [0, 1, 2], 1) == 1.0

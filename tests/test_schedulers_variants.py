@@ -124,3 +124,33 @@ def test_sd21_config_geometry():
     assert cfg.unet.heads_for_block(3) == 20
     assert cfg.prediction_type == "v_prediction"
     assert cfg.unet.n_ff_layers == 16
+
+
+def test_sld_generation_differs_from_plain():
+    """SLD safety guidance must alter generations once past warmup
+    (native rebuild of the reference's SD1.4-safe baseline)."""
+    from diffusion_models_moe_tpu.pipelines.sld import SLDConfig, sld_generate
+    cfg = tiny_config()
+    pipe = StableDiffusionPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = cfg.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1), (1, tc.max_length), 0,
+                              tc.vocab_size)
+    uncond = jnp.zeros_like(cond)
+    safety = jax.random.randint(jax.random.PRNGKey(2), (1, tc.max_length), 0,
+                                tc.vocab_size)
+    sld_cfg = SLDConfig(warmup_steps=0, guidance_scale=5000.0)
+    img_sld = sld_generate(pipe, params, cond, uncond, safety,
+                           jax.random.PRNGKey(3), num_steps=2, sld=sld_cfg,
+                           decode=False)
+    img_plain, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(3),
+                                 num_steps=2, decode=False)
+    assert np.all(np.isfinite(np.asarray(img_sld)))
+    assert not np.allclose(np.asarray(img_sld), np.asarray(img_plain))
+    # with warmup beyond the step count and zero momentum, SLD degenerates to CFG
+    sld_off = SLDConfig(warmup_steps=99, momentum_scale=0.0)
+    img_off = sld_generate(pipe, params, cond, uncond, safety,
+                           jax.random.PRNGKey(3), num_steps=2, sld=sld_off,
+                           decode=False)
+    np.testing.assert_allclose(np.asarray(img_off), np.asarray(img_plain),
+                               atol=2e-3)
