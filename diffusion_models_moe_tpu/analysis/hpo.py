@@ -86,24 +86,31 @@ def noise_diff_objective(pipe, params, tokenize, prompts: Sequence[str],
                          ) -> Callable[[dict], float]:
     """Objective(params) = mean over prompts/timesteps of ||eps_removed - eps_base||.
 
-    Uses final latents of base vs intervened runs as the removal-drift proxy;
-    the reference's per-timestep eps capture corresponds to taps on the UNet
-    output (reference: remove_experts_noise_hpo.py:133-240). Lower = removal
-    perturbs the model less outside the concept.
+    Captures the per-step CFG-combined noise predictions via the `save_eps` tap
+    (the reference hooks the whole UNet for the same purpose,
+    remove_experts_noise_hpo.py:133-240) and averages ||eps_removed - eps_base||
+    over timesteps. Lower = removal perturbs the model less outside the concept.
     """
+    from diffusion_models_moe_tpu.taps import TapSpec
+
     def run(prompt, ivs):
         cond = tokenize([prompt])
         uncond = np.zeros_like(cond)
-        lat, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(seed),
-                               num_steps=num_steps, ivs=ivs, decode=False)
-        return np.asarray(lat)
+        _, taps = pipe.generate(params, cond, uncond, jax.random.PRNGKey(seed),
+                                num_steps=num_steps, ivs=ivs,
+                                tap=TapSpec(save_eps=True), decode=False)
+        return np.asarray(taps["eps"][0])      # (T, B, h, w, c)
 
-    base_latents = [run(p, None) for p in prompts]
+    base_eps = [run(p, None) for p in prompts]
 
     def objective(trial_params: dict) -> float:
         ivs = make_ivs(trial_params)
-        diffs = [np.linalg.norm(run(p, ivs) - b)
-                 for p, b in zip(prompts, base_latents)]
+        diffs = []
+        for p, b in zip(prompts, base_eps):
+            e = run(p, ivs)
+            t = e.shape[0]
+            diffs.append(np.mean(np.linalg.norm(
+                (e - b).reshape(t, -1), axis=-1)))
         return float(np.mean(diffs))
 
     return objective

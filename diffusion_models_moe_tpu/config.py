@@ -39,6 +39,9 @@ class UNetConfig:
     use_fused_routing: bool = False
     # LCM guidance-scale conditioning width (0 = disabled; LCM models use 256)
     time_cond_proj_dim: int = 0
+    # rematerialize blocks in backward (training memory for FLOPs); ignored on
+    # tapped/intervened forwards
+    remat: bool = False
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     dtype: Any = jnp.float32             # compute dtype

@@ -55,15 +55,21 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(dt)
         sample = sample.astype(dt)
 
+        # remat only on the plain forward (training): tapped/intervened calls
+        # carry static kwargs remat can't thread
+        do_remat = cfg.remat and tap is None and ivs is None
+        resnet_cls = nn.remat(ResnetBlock2D) if do_remat else ResnetBlock2D
+        transformer_cls = nn.remat(Transformer2D) if do_remat else Transformer2D
+
         def make_transformer(dim, ff_index, name, block_idx):
-            return Transformer2D(
+            return transformer_cls(
                 dim=dim, heads=cfg.heads_for_block(block_idx),
                 context_dim=cfg.cross_attention_dim,
                 ff_index=ff_index, norm_num_groups=cfg.norm_num_groups,
                 ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
                 dtype=dt, use_fused_routing=cfg.use_fused_routing, name=name)
 
-        tkw = dict(step_idx=step_idx, tap=tap, ivs=ivs)
+        tkw = {} if do_remat else dict(step_idx=step_idx, tap=tap, ivs=ivs)
         ff_index = 0
 
         # --- down path ----------------------------------------------------------
@@ -72,8 +78,8 @@ class UNet2DCondition(nn.Module):
         for i, kind in enumerate(cfg.down_block_types):
             out_ch = channels[i]
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dt,
-                                  name=f"down_{i}_res_{j}")(h, temb)
+                h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
+                               name=f"down_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"down_{i}_attn_{j}",
                                          i)(h, context, **tkw)
@@ -85,13 +91,13 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ------------------------------------------------------------------
         mid_ch = channels[-1]
-        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dt,
-                          name="mid_res_0")(h, temb)
+        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt,
+                       name="mid_res_0")(h, temb)
         h = make_transformer(mid_ch, ff_index, "mid_attn_0",
                              len(channels) - 1)(h, context, **tkw)
         ff_index += 1
-        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dt,
-                          name="mid_res_1")(h, temb)
+        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt,
+                       name="mid_res_1")(h, temb)
 
         # --- up path ----------------------------------------------------------------
         rev_channels = list(reversed(channels))
@@ -100,8 +106,8 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 res = res_stack.pop()
                 h = jnp.concatenate([h, res], axis=-1)
-                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dt,
-                                  name=f"up_{i}_res_{j}")(h, temb)
+                h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
+                               name=f"up_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"up_{i}_attn_{j}",
                                          len(channels) - 1 - i)(h, context, **tkw)

@@ -143,7 +143,7 @@ class StableDiffusionPipeline:
                     {"params": params["unet"]}, lat_in, t, context,
                     timestep_cond=timestep_cond, step_idx=i, tap=tap, ivs=ivs,
                     mutable=["taps"])
-                ys = flatten_taps(tap_tree["taps"])
+                ys = flatten_taps(tap_tree.get("taps", {}))
             else:
                 eps = self.unet.apply({"params": params["unet"]}, lat_in, t,
                                       context, timestep_cond=timestep_cond,
@@ -154,6 +154,10 @@ class StableDiffusionPipeline:
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
             if v_pred:
                 eps = v_sqrt_a[i] * eps + v_sqrt_1ma[i] * lat
+            if tap is not None and tap.save_eps:
+                # whole-UNet output capture (reference: base_unet_receiver.py:25-45)
+                ys = ys if isinstance(ys, dict) else {}
+                ys["eps"] = {0: eps}
             sched_state, lat = self.scheduler.step(sched_state, coeffs, eps, i, lat)
             return (lat, sched_state), ys
 
@@ -247,3 +251,16 @@ def blur_images(images: jax.Array, sigma: float = 7.0) -> jax.Array:
         flat = jax.lax.conv_general_dilated(
             flat, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
     return jnp.moveaxis(flat.reshape(b, c, h, w), 1, -1)
+
+
+def stitch_side_by_side(images_a, images_b):
+    """Horizontally stitched before/after pairs, the reference's removal
+    comparison artifact (reference: modularity/remove_experts.py:47-69)."""
+    from PIL import Image
+    out = []
+    for a, b in zip(to_pil(images_a), to_pil(images_b)):
+        canvas = Image.new("RGB", (a.width + b.width, a.height))
+        canvas.paste(a, (0, 0))
+        canvas.paste(b, (a.width, 0))
+        out.append(canvas)
+    return out

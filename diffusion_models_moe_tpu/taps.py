@@ -54,6 +54,9 @@ class TapSpec:
                          batch element 0 only; reference: neuron_receivers/frequency_measure.py:42-64)
       expert_sel      -> GetExperts (per-expert "selected by any token" counts over the
                          full batch; reference: neuron_receivers/get_experts.py:50-83)
+      save_eps        -> BaseUNetReceiver (per-step CFG-combined noise prediction,
+                         for the noise-difference HPO objective;
+                         reference: neuron_receivers/base_unet_receiver.py:25-45)
     """
     max_gate: bool = False
     mean_gate: bool = False
@@ -63,6 +66,7 @@ class TapSpec:
     expert_scores_max: bool = False
     expert_freq: bool = False
     expert_sel: bool = False
+    save_eps: bool = False
 
     def any_gate_stat(self) -> bool:
         return (self.max_gate or self.mean_gate or self.gate_sparsity

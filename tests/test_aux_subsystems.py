@@ -77,3 +77,45 @@ def test_param_count_report():
     mask = {"a": True, "b": {"c": False}}
     rep = param_count_report(params, mask)
     assert rep["trainable"] == 6
+
+
+def test_noise_diff_objective_and_eps_tap():
+    """save_eps tap returns the (T,B,h,w,c) eps trajectory; the HPO noise
+    objective is 0 for a no-op intervention and > 0 for a real one."""
+    import jax
+    import jax.numpy as jnp
+    from diffusion_models_moe_tpu import (StableDiffusionPipeline, TapSpec,
+                                          tiny_config)
+    from diffusion_models_moe_tpu.analysis.hpo import noise_diff_objective
+    from diffusion_models_moe_tpu.erasure.masks import (
+        neuron_removal_interventions)
+
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = pipe.config.text_encoder
+
+    def tokenize(texts):
+        rng = np.random.RandomState(abs(hash(tuple(texts))) % (2 ** 31))
+        return rng.randint(0, tc.vocab_size,
+                           (len(texts), tc.max_length)).astype(np.int32)
+
+    cond = jnp.asarray(tokenize(["x"]))
+    _, taps = pipe.generate(params, cond, jnp.zeros_like(cond),
+                            jax.random.PRNGKey(0), num_steps=2,
+                            tap=TapSpec(save_eps=True), decode=False)
+    eps = np.asarray(taps["eps"][0])
+    assert eps.shape[0] == 3 and eps.ndim == 5  # (T=2+1, B, h, w, c)
+
+    h0 = 4 * pipe.config.unet.ff_dims()[0]
+
+    def make_ivs(p):
+        if p["ratio"] == 0.0:
+            return None
+        mask = np.zeros(h0, bool)
+        mask[: int(p["ratio"] * h0)] = True
+        return neuron_removal_interventions({0: mask})
+
+    obj = noise_diff_objective(pipe, params, tokenize, ["a cat"], make_ivs,
+                               num_steps=2)
+    assert obj({"ratio": 0.0}) == 0.0
+    assert obj({"ratio": 0.5}) > 0.0

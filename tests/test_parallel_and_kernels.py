@@ -109,3 +109,30 @@ def test_selective_ft_masks():
     assert blk["ff"]["proj"]["kernel"] is False
     mask_all = trainable_mask(params, "full")
     assert all(jax.tree_util.tree_leaves(mask_all))
+
+
+def test_remat_train_step_matches_plain():
+    """Rematerialized training must produce identical grads/loss."""
+    import dataclasses
+    from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+    from diffusion_models_moe_tpu.training.train import (TrainConfig,
+                                                         create_train_state,
+                                                         make_train_step)
+    cfg = tiny_config().unet
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    b, s = 2, 8
+    latents = jnp.ones((b, s, s, 4))
+    text = jnp.ones((b, 16, cfg.cross_attention_dim))
+    params = UNet2DCondition(cfg).init(
+        jax.random.PRNGKey(0), latents, jnp.zeros((b,), jnp.int32),
+        text)["params"]
+    tcfg = TrainConfig(use_ema=False)
+    batch = {"latents": latents, "text_emb": text}
+    key = jax.random.PRNGKey(1)
+    losses = {}
+    for name, c in (("plain", cfg), ("remat", cfg_r)):
+        state = create_train_state(params, tcfg)
+        step = make_train_step(c, tcfg)
+        _, metrics = jax.jit(step)(state, batch, key)
+        losses[name] = float(metrics["loss"])
+    assert losses["plain"] == pytest.approx(losses["remat"], rel=1e-5)
