@@ -25,8 +25,15 @@ import sys
 import numpy as np
 
 
+def _maybe_force_cpu(args):
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def _load_pipe(args):
     import jax
+    _maybe_force_cpu(args)
     from diffusion_models_moe_tpu import (StableDiffusionPipeline, sd15_config,
                                           tiny_config)
     if args.snapshot:
@@ -192,12 +199,76 @@ def cmd_expert_freq(args):
     print(args.out)
 
 
+def cmd_eval_gen(args):
+    """Batched eval generation with resume-by-skip (eval_coco/i2p/artist shape)."""
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.benchmarks.runner import (EvalRunConfig,
+                                                            run_eval)
+    ivs = None
+    if args.masks:
+        from diffusion_models_moe_tpu.erasure.masks import (
+            load_masks, neuron_removal_interventions,
+            wanda_removal_interventions)
+        masks = load_masks(args.masks)
+        ivs = (wanda_removal_interventions(masks) if args.mode == "wanda"
+               else neuron_removal_interventions(masks))
+    if args.prompts_csv:
+        from diffusion_models_moe_tpu.data.coco import load_prompt_csv
+        prompts, seeds = load_prompt_csv(args.prompts_csv)
+    elif args.coco_root:
+        from diffusion_models_moe_tpu.data.coco import coco_dataset
+        prompts, _ = coco_dataset(args.coco_root, args.n_samples,
+                                  seed=args.seed)
+        seeds = None
+    else:
+        base, adj = _prompt_pairs(args)
+        prompts, seeds = adj, None
+    cfg = EvalRunConfig(out_dir=args.out_dir, batch_size=args.batch,
+                        num_steps=args.steps or 50, seed=args.seed,
+                        per_prompt_seeds=seeds,
+                        save_baseline=not args.no_baseline)
+    print(json.dumps(run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs)))
+
+
+def cmd_score_dirs(args):
+    """FID + perceptual distance between sd_/removed_ directories."""
+    import jax
+    from diffusion_models_moe_tpu.benchmarks.scores import (
+        clip_perceptual_distance, fid_between_dirs, perceptual_between_dirs)
+    if args.clip_snapshot:
+        from diffusion_models_moe_tpu.benchmarks.fid import make_clip_featurizer
+        from diffusion_models_moe_tpu.models.clip_vision import (
+            CLIPVisionConfig, CLIPVisionEncoder)
+        from diffusion_models_moe_tpu.weights.port_vision import (
+            port_clip_vision)
+        cfg = CLIPVisionConfig()
+        enc = CLIPVisionEncoder(cfg)
+        vp = port_clip_vision(args.clip_snapshot, cfg)
+        featurize = make_clip_featurizer(enc, vp)
+    else:
+        from diffusion_models_moe_tpu.models.clip_vision import (
+            CLIPVisionEncoder, tiny_vision_config)
+        from diffusion_models_moe_tpu.benchmarks.fid import make_clip_featurizer
+        cfg = tiny_vision_config()
+        enc = CLIPVisionEncoder(cfg)
+        vp = enc.init(jax.random.PRNGKey(0),
+                      jax.numpy.zeros((1, cfg.image_size, cfg.image_size, 3))
+                      )["params"]
+        featurize = make_clip_featurizer(enc, vp)
+    fid = fid_between_dirs(args.a_dir, args.b_dir, featurize)
+    perc = perceptual_between_dirs(args.a_dir, args.b_dir,
+                                   clip_perceptual_distance(featurize))
+    print(json.dumps({"fid": fid, "perceptual": perc}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="diffusion_models_moe_tpu")
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp, concept=False):
         sp.add_argument("--snapshot", default=None)
+        sp.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (smoke tests)")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--steps", type=int, default=None)
         sp.add_argument("--relufied", action="store_true")
@@ -253,6 +324,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--topk", type=float, default=0.3)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_expert_freq)
+
+    sp = sub.add_parser("eval-gen"); common(sp, concept=True)
+    sp.add_argument("--masks", default=None)
+    sp.add_argument("--mode", choices=["neurons", "wanda"], default="wanda")
+    sp.add_argument("--prompts-csv", default=None)
+    sp.add_argument("--coco-root", default=None)
+    sp.add_argument("--n-samples", type=int, default=100)
+    sp.add_argument("--batch", type=int, default=4)
+    sp.add_argument("--no-baseline", action="store_true")
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_eval_gen)
+
+    sp = sub.add_parser("score-dirs")
+    sp.add_argument("--a-dir", required=True)
+    sp.add_argument("--b-dir", required=True)
+    sp.add_argument("--clip-snapshot", default=None)
+    sp.set_defaults(fn=cmd_score_dirs)
     return p
 
 

@@ -100,3 +100,33 @@ def test_moefy_unet_and_interventions(tmp_path):
         assert iv.patterns.shape == (e, 4 * d)
         assert iv.k == max(int(e * 0.5), 1)
         np.testing.assert_allclose(np.asarray(iv.patterns).sum(0), 1.0)
+
+
+def test_centroid_and_mlp_router():
+    """Routers recover the dominant expert on separable synthetic data
+    (reference: moe_utils.py ParamCenter/MLPCenter)."""
+    from diffusion_models_moe_tpu.moefication.routers import (
+        centroid_router, expert_activation_targets, router_topk_accuracy,
+        train_mlp_router)
+    rng = np.random.RandomState(0)
+    d, e, per = 16, 4, 8
+    h = e * per
+    # gate rows clustered around e distinct directions
+    dirs = rng.randn(e, d) * 3
+    labels = np.repeat(np.arange(e), per)
+    w = dirs[labels] + 0.1 * rng.randn(h, d)
+    cents = centroid_router(w, labels)
+    assert cents.shape == (e, d)
+    # inputs aligned with direction j must route to expert j
+    scores = (dirs / np.linalg.norm(dirs, axis=1, keepdims=True)) @ cents.T
+    assert (np.argmax(scores, axis=1) == np.arange(e)).all()
+
+    # MLP router trained on synthetic activations
+    n = 512
+    x = rng.randn(n, d).astype(np.float32)
+    acts = np.maximum(x @ w.T, 0)            # (N, H)
+    targets = expert_activation_targets(acts, labels)
+    router = train_mlp_router(x, targets, hidden=32, steps=300, seed=1)
+    pred = np.asarray(router.scores(x))
+    acc = router_topk_accuracy(pred, targets, k=1)
+    assert acc > 0.8, acc
