@@ -26,6 +26,9 @@ class UNetConfig:
     down_block_types: Sequence[str] = ("cross", "cross", "cross", "plain")
     up_block_types: Sequence[str] = ("plain", "cross", "cross", "cross")
     layers_per_block: int = 2
+    # transformer blocks per attention layer: int or per-block tuple
+    # (SD1.x: 1; SDXL: (0, 2, 10) with 0 = plain block)
+    transformer_layers_per_block: Any = 1
     cross_attention_dim: int = 768
     # Number of attention heads: one int for all blocks (SD1.x: 8) or a
     # per-block tuple (SD2.x: (5, 10, 20, 20) -> 64-dim heads).
@@ -42,21 +45,30 @@ class UNetConfig:
     # rematerialize blocks in backward (training memory for FLOPs); ignored on
     # tapped/intervened forwards
     remat: bool = False
+    # SDXL additional conditioning: pooled text embedding width (0 = disabled)
+    addition_embed_dim: int = 0
+    # SDXL micro-conditioning time_ids count (6 for SDXL)
+    addition_time_embed_dim: int = 0
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     dtype: Any = jnp.float32             # compute dtype
+
+    def depth_for_block(self, block_idx: int) -> int:
+        d = self.transformer_layers_per_block
+        return d if isinstance(d, int) else d[block_idx]
 
     @property
     def n_ff_layers(self) -> int:
         """Number of GEGLU FF layers (16 for SD1.x; reference: moefication/helper.py:6-19)."""
         n = 0
-        for kind in self.down_block_types:
+        for i, kind in enumerate(self.down_block_types):
             if kind == "cross":
-                n += self.layers_per_block
-        n += 1  # mid block
-        for kind in self.up_block_types:
+                n += self.layers_per_block * self.depth_for_block(i)
+        n += self.depth_for_block(len(self.block_out_channels) - 1)  # mid
+        rev = list(range(len(self.block_out_channels)))[::-1]
+        for i, kind in enumerate(self.up_block_types):
             if kind == "cross":
-                n += self.layers_per_block + 1
+                n += (self.layers_per_block + 1) * self.depth_for_block(rev[i])
         return n
 
     def heads_for_block(self, block_idx: int) -> int:
@@ -74,12 +86,16 @@ class UNetConfig:
         dims = []
         for i, kind in enumerate(self.down_block_types):
             if kind == "cross":
-                dims += [self.block_out_channels[i]] * self.layers_per_block
-        dims.append(self.block_out_channels[-1])  # mid
-        rev = list(reversed(self.block_out_channels))
+                dims += ([self.block_out_channels[i]]
+                         * self.layers_per_block * self.depth_for_block(i))
+        n_blocks = len(self.block_out_channels)
+        dims += [self.block_out_channels[-1]] * self.depth_for_block(n_blocks - 1)
+        rev_ch = list(reversed(self.block_out_channels))
+        rev_idx = list(range(n_blocks))[::-1]
         for i, kind in enumerate(self.up_block_types):
             if kind == "cross":
-                dims += [rev[i]] * (self.layers_per_block + 1)
+                dims += ([rev_ch[i]] * (self.layers_per_block + 1)
+                         * self.depth_for_block(rev_idx[i]))
         return dims
 
 
@@ -149,6 +165,29 @@ def sd21_config(dtype=jnp.bfloat16, v_prediction: bool = True) -> PipelineConfig
         sample_size=96 if v_prediction else 64,
         scheduler="ddim",
         prediction_type="v_prediction" if v_prediction else "epsilon",
+    )
+
+
+def sdxl_config(dtype=jnp.bfloat16, lcm: bool = False) -> PipelineConfig:
+    """SDXL-base UNet geometry (reference loads SDXL and LCM-SDXL variants:
+    utils.py:64-138, experiments/mod_config.yaml:27). Dual-text-encoder pipeline
+    wiring is roadmap; the UNet accepts precomputed 2048-dim context plus pooled
+    text (1280) and time_ids micro-conditioning."""
+    return PipelineConfig(
+        unet=UNetConfig(
+            block_out_channels=(320, 640, 1280),
+            down_block_types=("plain", "cross", "cross"),
+            up_block_types=("cross", "cross", "plain"),
+            transformer_layers_per_block=(0, 2, 10),
+            attention_head_dim=(5, 10, 20),
+            cross_attention_dim=2048,
+            addition_embed_dim=1280,
+            addition_time_embed_dim=256,
+            time_cond_proj_dim=256 if lcm else 0,
+            dtype=dtype),
+        sample_size=128,
+        scheduler="lcm" if lcm else "euler",
+        num_inference_steps=4 if lcm else 50,
     )
 
 

@@ -221,11 +221,16 @@ class BasicTransformerBlock(nn.Module):
 
 
 class Transformer2D(nn.Module):
-    """Spatial transformer: GN -> proj_in -> blocks -> proj_out + residual."""
+    """Spatial transformer: GN -> proj_in -> depth x blocks -> proj_out + residual.
+
+    `depth` > 1 covers SDXL-style stacks (transformer_layers_per_block); each inner
+    block owns one GEGLU FF with consecutive global indices starting at ff_index.
+    """
     dim: int
     heads: int
     context_dim: int
     ff_index: int
+    depth: int = 1
     norm_num_groups: int = 32
     ff_mult: int = 4
     ff_activation: str = "geglu"
@@ -240,15 +245,17 @@ class Transformer2D(nn.Module):
                          dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         y = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, self.dim)
-        iv = None
-        if ivs is not None and ivs[self.ff_index] is not None:
-            iv = ivs[self.ff_index]
-        y = BasicTransformerBlock(
-            self.dim, self.heads, self.context_dim, ff_index=self.ff_index,
-            ff_mult=self.ff_mult, ff_activation=self.ff_activation,
-            dtype=self.dtype, use_fused_routing=self.use_fused_routing,
-            name="transformer_blocks_0",
-        )(y, context, step_idx=step_idx, tap=tap, iv=iv)
+        for d in range(self.depth):
+            ff_index = self.ff_index + d
+            iv = None
+            if ivs is not None and ff_index < len(ivs):
+                iv = ivs[ff_index]
+            y = BasicTransformerBlock(
+                self.dim, self.heads, self.context_dim, ff_index=ff_index,
+                ff_mult=self.ff_mult, ff_activation=self.ff_activation,
+                dtype=self.dtype, use_fused_routing=self.use_fused_routing,
+                name=f"transformer_blocks_{d}",
+            )(y, context, step_idx=step_idx, tap=tap, iv=iv)
         y = y.reshape(b, h, w, self.dim)
         y = nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(y)
         return y + residual

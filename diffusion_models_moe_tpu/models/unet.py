@@ -30,6 +30,8 @@ class UNet2DCondition(nn.Module):
     def __call__(self, sample: jax.Array, timestep: jax.Array,
                  encoder_hidden_states: jax.Array, *,
                  timestep_cond: Optional[jax.Array] = None,
+                 added_text_embeds: Optional[jax.Array] = None,
+                 added_time_ids: Optional[jax.Array] = None,
                  step_idx: Optional[jax.Array] = None,
                  tap: Optional[TapSpec] = None,
                  ivs: Optional[Interventions] = None) -> jax.Array:
@@ -51,6 +53,19 @@ class UNet2DCondition(nn.Module):
                                        timestep_cond.astype(dt))
         temb = TimestepEmbedding(channels[0] * 4, dtype=dt,
                                  name="time_embedding")(temb)
+        if cfg.addition_embed_dim > 0 and added_text_embeds is not None:
+            # SDXL micro-conditioning: pooled text + sinusoidal time_ids
+            # -> MLP added to the time embedding
+            parts = [added_text_embeds.astype(dt)]
+            if added_time_ids is not None and cfg.addition_time_embed_dim > 0:
+                b, n_ids = added_time_ids.shape
+                id_emb = timestep_embedding(
+                    added_time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                    cfg.flip_sin_to_cos, cfg.freq_shift)
+                parts.append(id_emb.reshape(b, -1).astype(dt))
+            add_emb = jnp.concatenate(parts, axis=-1)
+            temb = temb + TimestepEmbedding(channels[0] * 4, dtype=dt,
+                                            name="add_embedding")(add_emb)
 
         context = encoder_hidden_states.astype(dt)
         sample = sample.astype(dt)
@@ -65,7 +80,8 @@ class UNet2DCondition(nn.Module):
             return transformer_cls(
                 dim=dim, heads=cfg.heads_for_block(block_idx),
                 context_dim=cfg.cross_attention_dim,
-                ff_index=ff_index, norm_num_groups=cfg.norm_num_groups,
+                ff_index=ff_index, depth=cfg.depth_for_block(block_idx),
+                norm_num_groups=cfg.norm_num_groups,
                 ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
                 dtype=dt, use_fused_routing=cfg.use_fused_routing, name=name)
 
@@ -83,7 +99,7 @@ class UNet2DCondition(nn.Module):
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"down_{i}_attn_{j}",
                                          i)(h, context, **tkw)
-                    ff_index += 1
+                    ff_index += cfg.depth_for_block(i)
                 res_stack.append(h)
             if i < len(cfg.down_block_types) - 1:
                 h = Downsample2D(out_ch, dtype=dt, name=f"down_{i}_downsample")(h)
@@ -95,7 +111,7 @@ class UNet2DCondition(nn.Module):
                        name="mid_res_0")(h, temb)
         h = make_transformer(mid_ch, ff_index, "mid_attn_0",
                              len(channels) - 1)(h, context, **tkw)
-        ff_index += 1
+        ff_index += cfg.depth_for_block(len(channels) - 1)
         h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt,
                        name="mid_res_1")(h, temb)
 
@@ -111,7 +127,7 @@ class UNet2DCondition(nn.Module):
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"up_{i}_attn_{j}",
                                          len(channels) - 1 - i)(h, context, **tkw)
-                    ff_index += 1
+                    ff_index += cfg.depth_for_block(len(channels) - 1 - i)
             if i < len(cfg.up_block_types) - 1:
                 h = Upsample2D(out_ch, dtype=dt, name=f"up_{i}_upsample")(h)
 

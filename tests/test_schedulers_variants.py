@@ -154,3 +154,49 @@ def test_sld_generation_differs_from_plain():
                            decode=False)
     np.testing.assert_allclose(np.asarray(img_off), np.asarray(img_plain),
                                atol=2e-3)
+
+
+def test_sdxl_unet_geometry():
+    """SDXL-shaped UNet (at tiny dims): depth-stacked transformers + addition
+    embeddings produce the right FF census and a finite forward."""
+    from diffusion_models_moe_tpu.config import UNetConfig
+    from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+    cfg = UNetConfig(
+        block_out_channels=(16, 32, 64),
+        down_block_types=("plain", "cross", "cross"),
+        up_block_types=("cross", "cross", "plain"),
+        transformer_layers_per_block=(0, 2, 3),
+        attention_head_dim=(2, 4, 8),
+        cross_attention_dim=32,
+        norm_num_groups=8,
+        addition_embed_dim=24,
+        addition_time_embed_dim=8,
+    )
+    # down: block1 cross 2 layers x depth2 = 4, block2 2 x depth3 = 6;
+    # mid: depth3; up: block0(ch64) 3 x 3 = 9, block1(ch32) 3 x 2 = 6 -> 28
+    assert cfg.n_ff_layers == 4 + 6 + 3 + 9 + 6
+    assert len(cfg.ff_dims()) == cfg.n_ff_layers
+    unet = UNet2DCondition(cfg)
+    lat = jnp.zeros((1, 16, 16, 4))
+    ctx = jnp.zeros((1, 8, 32))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,), jnp.int32),
+                       ctx, added_text_embeds=jnp.zeros((1, 24)),
+                       added_time_ids=jnp.zeros((1, 6)))["params"]
+    assert "add_embedding" in params
+    out = unet.apply({"params": params}, lat, jnp.asarray([3]), ctx,
+                     added_text_embeds=jnp.ones((1, 24)),
+                     added_time_ids=jnp.ones((1, 6)))
+    assert np.all(np.isfinite(np.asarray(out)))
+    # addition conditioning must change the output
+    out2 = unet.apply({"params": params}, lat, jnp.asarray([3]), ctx,
+                      added_text_embeds=jnp.zeros((1, 24)),
+                      added_time_ids=jnp.ones((1, 6)))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_sdxl_config_preset():
+    from diffusion_models_moe_tpu.config import sdxl_config
+    cfg = sdxl_config()
+    # SDXL: down 2x2 + 2x10 = 24; mid 10; up 3x10 + 3x2 = 36 -> 70 GEGLU FFs
+    assert cfg.unet.n_ff_layers == 70
+    assert cfg.unet.heads_for_block(2) == 20
