@@ -72,3 +72,31 @@ def test_object_erasure_protocol():
     assert scores["erase_top1"] == 0.0        # target class gone
     assert scores["keep_top1"] == 1.0
     assert topk_accuracy(np.eye(3), [0, 1, 2], 1) == 1.0
+
+
+def test_eval_runner_resume_by_skip(tmp_path):
+    """Batched eval generation with crash-restartable resume
+    (reference: benchmarks/eval_coco.py:252-254)."""
+    import jax
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+    from diffusion_models_moe_tpu.benchmarks.runner import (EvalRunConfig,
+                                                            run_eval)
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = pipe.config.text_encoder
+
+    def tokenize(texts):
+        rng = np.random.RandomState(abs(hash(tuple(texts))) % (2 ** 31))
+        return rng.randint(0, tc.vocab_size,
+                           (len(texts), tc.max_length)).astype(np.int32)
+
+    cfg = EvalRunConfig(out_dir=str(tmp_path), batch_size=2, num_steps=2)
+    prompts = ["a cat", "a dog", "a bird"]   # 3 prompts, batch 2 -> padding path
+    s1 = run_eval(pipe, params, tokenize, prompts, cfg)
+    assert s1["generated"] == 3 and s1["skipped"] == 0
+    import os
+    files = sorted(os.listdir(tmp_path))
+    assert "sd_0.png" in files and "removed_2.png" in files
+    # second run skips everything
+    s2 = run_eval(pipe, params, tokenize, prompts, cfg)
+    assert s2["skipped"] == 3 and s2["generated"] == 0
