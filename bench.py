@@ -30,7 +30,7 @@ jax.config.update("jax_compilation_cache_dir",
 REFERENCE_HOOKED_IMGS_PER_SEC = 0.25
 
 
-def main(batch: int = 4, steps: int = 50, runs: int = 3):
+def main(batch: int = 8, steps: int = 50, runs: int = 3):
     from diffusion_models_moe_tpu import StableDiffusionPipeline, sd15_config
     from diffusion_models_moe_tpu.moefication.moefy import build_moe_interventions
     from diffusion_models_moe_tpu.taps import layer_name

@@ -92,6 +92,8 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # 2x nearest upsample as broadcast+reshape (cheaper than gather-resize)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.out_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv")(x)
