@@ -40,6 +40,11 @@ class UNetConfig:
     # but measured ~30% slower than XLA's fused top_k routing at SD shapes (the
     # O(E^2) rank-count dominates); default off until the full-FFN fusion lands.
     use_fused_routing: bool = False
+    # Pallas flash attention for long self-attention (TPU only; exact math within
+    # bf16 tolerance). Measured SLOWER than XLA's fused SDPA at SD1.x shapes
+    # (13.9ms vs 9.7ms @ b16/s4096/d40): the 40->128 head-dim lane padding costs
+    # more than the fusion saves. Worth enabling for models with >=128-dim heads.
+    flash_attention: bool = False
     # LCM guidance-scale conditioning width (0 = disabled; LCM models use 256)
     time_cond_proj_dim: int = 0
     # rematerialize blocks in backward (training memory for FLOPs); ignored on

@@ -19,14 +19,20 @@ from diffusion_models_moe_tpu.taps import (LayerIntervention, TapSpec,
 
 
 class Attention(nn.Module):
-    """Multi-head (self or cross) attention; uses XLA-fused SDPA."""
+    """Multi-head (self or cross) attention.
+
+    Long self-attention (the 4096-token UNet layers) lowers to the Pallas flash
+    kernel on TPU, keeping the (S, S) score matrix in VMEM; cross-attention
+    (kv = 77 text tokens) and small grids stay on XLA's fused SDPA."""
     query_dim: int
     heads: int = 8
     context_dim: Optional[int] = None
     dtype: Any = jnp.float32
+    flash: bool = True
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         head_dim = self.query_dim // self.heads
         q = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -36,7 +42,13 @@ class Attention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim)
 
-        out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        from diffusion_models_moe_tpu.ops.flash import (flash_self_attention,
+                                                        use_flash)
+        if is_self and use_flash(x.shape[1], context.shape[1], self.flash):
+            out = flash_self_attention(split(q), split(k), split(v),
+                                       sm_scale=1.0 / (head_dim ** 0.5))
+        else:
+            out = jax.nn.dot_product_attention(split(q), split(k), split(v))
         out = out.reshape(x.shape[0], x.shape[1], self.query_dim)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
@@ -204,14 +216,17 @@ class BasicTransformerBlock(nn.Module):
     ff_activation: str = "geglu"
     dtype: Any = jnp.float32
     use_fused_routing: bool = True
+    flash_attention: bool = True
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        x = x + Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")(h)
+        x = x + Attention(self.dim, self.heads, dtype=self.dtype,
+                          flash=self.flash_attention, name="attn1")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
-                          dtype=self.dtype, name="attn2")(h, context)
+                          dtype=self.dtype, flash=self.flash_attention,
+                          name="attn2")(h, context)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
                                  ff_index=self.ff_index, dtype=self.dtype,
@@ -236,6 +251,7 @@ class Transformer2D(nn.Module):
     ff_activation: str = "geglu"
     dtype: Any = jnp.float32
     use_fused_routing: bool = True
+    flash_attention: bool = True
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, ivs=None):
@@ -254,6 +270,7 @@ class Transformer2D(nn.Module):
                 self.dim, self.heads, self.context_dim, ff_index=ff_index,
                 ff_mult=self.ff_mult, ff_activation=self.ff_activation,
                 dtype=self.dtype, use_fused_routing=self.use_fused_routing,
+                flash_attention=self.flash_attention,
                 name=f"transformer_blocks_{d}",
             )(y, context, step_idx=step_idx, tap=tap, iv=iv)
         y = y.reshape(b, h, w, self.dim)

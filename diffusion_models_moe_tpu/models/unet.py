@@ -83,7 +83,8 @@ class UNet2DCondition(nn.Module):
                 ff_index=ff_index, depth=cfg.depth_for_block(block_idx),
                 norm_num_groups=cfg.norm_num_groups,
                 ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
-                dtype=dt, use_fused_routing=cfg.use_fused_routing, name=name)
+                dtype=dt, use_fused_routing=cfg.use_fused_routing,
+                flash_attention=cfg.flash_attention, name=name)
 
         tkw = {} if do_remat else dict(step_idx=step_idx, tap=tap, ivs=ivs)
         ff_index = 0

@@ -136,3 +136,14 @@ def test_remat_train_step_matches_plain():
         _, metrics = jax.jit(step)(state, batch, key)
         losses[name] = float(metrics["loss"])
     assert losses["plain"] == pytest.approx(losses["remat"], rel=1e-5)
+
+
+def test_flash_wrapper_gating():
+    from diffusion_models_moe_tpu.ops.flash import use_flash
+    assert not use_flash(4096, 77, True)     # cross-attention stays on XLA
+    assert not use_flash(64, 64, True)       # tiny grids stay on XLA
+    assert not use_flash(4096, 4096, False)  # disabled by config
+    # enabled only on TPU backends (CPU test env -> False)
+    import jax
+    expected = jax.default_backend() == "tpu"
+    assert use_flash(4096, 4096, True) == expected
