@@ -100,3 +100,16 @@ def test_eval_runner_resume_by_skip(tmp_path):
     # second run skips everything
     s2 = run_eval(pipe, params, tokenize, prompts, cfg)
     assert s2["skipped"] == 3 and s2["generated"] == 0
+
+
+def test_text_metrics():
+    from diffusion_models_moe_tpu.benchmarks.text_metrics import (
+        corpus_scores, rouge_l, sentence_bleu)
+    assert sentence_bleu("a cat on a mat", "a cat on a mat") == pytest.approx(1.0)
+    assert sentence_bleu("a cat on a mat", "dog") == 0.0
+    partial = sentence_bleu("a cat sat on the mat", "a cat sat on a rug")
+    assert 0.0 < partial < 1.0
+    assert rouge_l("the cat sat", "the cat sat") == pytest.approx(1.0)
+    assert rouge_l("the cat sat", "sat cat the") < 1.0
+    s = corpus_scores(["a b c", "x y"], ["a b c", "x z"])
+    assert s["n"] == 2 and 0 < s["rouge_l"] <= 1
