@@ -75,6 +75,37 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def create_mesh_3d(n_devices: Optional[int] = None) -> Mesh:
+    """('dp','ep','tp') mesh for expert-parallel MoE inference: batch over dp,
+    expert pattern rows over ep (per-layer routing scores reduce over ICI),
+    FF hidden over tp."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    dims = []
+    rem = n
+    for _ in range(2):
+        f = 2 if rem % 2 == 0 and rem > 1 else 1
+        dims.append(f)
+        rem //= f
+    dp, ep = dims
+    tp = rem
+    return Mesh(np.asarray(devices[:n]).reshape(dp, ep, tp),
+                ("dp", "ep", "tp"))
+
+
+def moe_intervention_shardings(ivs, mesh: Mesh):
+    """Shard each layer's (E, H) expert patterns over 'ep' (rows) — the natural
+    expert-parallel layout (SURVEY.md §5.8 EP row); other fields replicate."""
+    def assign(kp, leaf):
+        path = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
+                        for k in kp)
+        if path.endswith("patterns") and leaf.ndim == 2:
+            return NamedSharding(mesh, P("ep", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, ivs)
+
+
 def state_shardings(state, mesh: Mesh):
     """Sharding pytree for a whole TrainState: param-shaped leaves anywhere in the
     tree (params, ema, optimizer mu/nu) pick up the same tp rules by path suffix;

@@ -50,20 +50,22 @@ def _transformer2d(sd, p, params):
     _emit(sd, f"{p}.norm", _norm(params["norm"]))
     _emit(sd, f"{p}.proj_in", _linear(params["proj_in"]))
     _emit(sd, f"{p}.proj_out", _linear(params["proj_out"]))
-    b = f"{p}.transformer_blocks.0"
-    blk = params["transformer_blocks_0"]
-    for n in ("norm1", "norm2", "norm3"):
-        _emit(sd, f"{b}.{n}", _norm(blk[n]))
-    for attn in ("attn1", "attn2"):
-        a = blk[attn]
-        for proj in ("to_q", "to_k", "to_v"):
-            _emit(sd, f"{b}.{attn}.{proj}", _linear(a[proj], use_bias=False))
-        _emit(sd, f"{b}.{attn}.to_out.0", _linear(a["to_out"]))
-    ff = blk["ff"]
-    _emit(sd, f"{b}.ff.net.0.proj", _linear(ff["proj"]))
-    sd[f"{b}.ff.net.2.weight"] = np.ascontiguousarray(
-        np.asarray(ff["out_proj_kernel"]).T)
-    sd[f"{b}.ff.net.2.bias"] = np.asarray(ff["out_proj_bias"])
+    depth = sum(1 for k in params if k.startswith("transformer_blocks_"))
+    for d in range(depth):
+        b = f"{p}.transformer_blocks.{d}"
+        blk = params[f"transformer_blocks_{d}"]
+        for n in ("norm1", "norm2", "norm3"):
+            _emit(sd, f"{b}.{n}", _norm(blk[n]))
+        for attn in ("attn1", "attn2"):
+            a = blk[attn]
+            for proj in ("to_q", "to_k", "to_v"):
+                _emit(sd, f"{b}.{attn}.{proj}", _linear(a[proj], use_bias=False))
+            _emit(sd, f"{b}.{attn}.to_out.0", _linear(a["to_out"]))
+        ff = blk["ff"]
+        _emit(sd, f"{b}.ff.net.0.proj", _linear(ff["proj"]))
+        sd[f"{b}.ff.net.2.weight"] = np.ascontiguousarray(
+            np.asarray(ff["out_proj_kernel"]).T)
+        sd[f"{b}.ff.net.2.bias"] = np.asarray(ff["out_proj_bias"])
 
 
 def export_unet(params: dict, cfg: UNetConfig) -> dict[str, np.ndarray]:
@@ -76,6 +78,14 @@ def export_unet(params: dict, cfg: UNetConfig) -> dict[str, np.ndarray]:
           _linear(params["time_embedding"]["linear_1"]))
     _emit(sd, "time_embedding.linear_2",
           _linear(params["time_embedding"]["linear_2"]))
+    if "add_embedding" in params:
+        _emit(sd, "add_embedding.linear_1",
+              _linear(params["add_embedding"]["linear_1"]))
+        _emit(sd, "add_embedding.linear_2",
+              _linear(params["add_embedding"]["linear_2"]))
+    if "time_cond_proj" in params:
+        _emit(sd, "time_embedding.cond_proj",
+              _linear(params["time_cond_proj"], use_bias=False))
     for i, kind in enumerate(cfg.down_block_types):
         for j in range(cfg.layers_per_block):
             _resnet(sd, f"down_blocks.{i}.resnets.{j}",

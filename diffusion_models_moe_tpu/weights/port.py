@@ -63,14 +63,15 @@ def _attention(sd, p):
     return out
 
 
-def _transformer2d(sd, p):
-    b = f"{p}.transformer_blocks.0"
-    ff_kernel = np.ascontiguousarray(sd[f"{b}.ff.net.2.weight"].T)  # (H, D)
-    return {
+def _transformer2d(sd, p, depth: int = 1):
+    out = {
         "norm": _norm(sd, f"{p}.norm"),
         "proj_in": _linear(sd, f"{p}.proj_in"),
         "proj_out": _linear(sd, f"{p}.proj_out"),
-        "transformer_blocks_0": {
+    }
+    for d in range(depth):
+        b = f"{p}.transformer_blocks.{d}"
+        out[f"transformer_blocks_{d}"] = {
             "norm1": _norm(sd, f"{b}.norm1"),
             "norm2": _norm(sd, f"{b}.norm2"),
             "norm3": _norm(sd, f"{b}.norm3"),
@@ -78,11 +79,12 @@ def _transformer2d(sd, p):
             "attn2": _attention(sd, f"{b}.attn2"),
             "ff": {
                 "proj": _linear(sd, f"{b}.ff.net.0.proj"),
-                "out_proj_kernel": ff_kernel,
+                "out_proj_kernel": np.ascontiguousarray(
+                    sd[f"{b}.ff.net.2.weight"].T),
                 "out_proj_bias": sd[f"{b}.ff.net.2.bias"],
             },
-        },
-    }
+        }
+    return out
 
 
 def port_unet(snapshot_dir: str, cfg: UNetConfig) -> dict:
@@ -101,24 +103,36 @@ def port_unet(snapshot_dir: str, cfg: UNetConfig) -> dict:
             "linear_2": _linear(sd, "time_embedding.linear_2"),
         },
     }
+    if "add_embedding.linear_1.weight" in sd:        # SDXL micro-conditioning
+        params["add_embedding"] = {
+            "linear_1": _linear(sd, "add_embedding.linear_1"),
+            "linear_2": _linear(sd, "add_embedding.linear_2"),
+        }
+    if "time_embedding.cond_proj.weight" in sd:      # LCM guidance conditioning
+        params["time_cond_proj"] = _linear(
+            sd, "time_embedding.cond_proj", use_bias=False)
+    n_blocks = len(cfg.block_out_channels)
     for i, kind in enumerate(cfg.down_block_types):
         for j in range(cfg.layers_per_block):
             params[f"down_{i}_res_{j}"] = _resnet(sd, f"down_blocks.{i}.resnets.{j}")
             if kind == "cross":
                 params[f"down_{i}_attn_{j}"] = _transformer2d(
-                    sd, f"down_blocks.{i}.attentions.{j}")
+                    sd, f"down_blocks.{i}.attentions.{j}",
+                    cfg.depth_for_block(i))
         if i < len(cfg.down_block_types) - 1:
             params[f"down_{i}_downsample"] = {
                 "conv": _conv(sd, f"down_blocks.{i}.downsamplers.0.conv")}
     params["mid_res_0"] = _resnet(sd, "mid_block.resnets.0")
     params["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
-    params["mid_attn_0"] = _transformer2d(sd, "mid_block.attentions.0")
+    params["mid_attn_0"] = _transformer2d(sd, "mid_block.attentions.0",
+                                          cfg.depth_for_block(n_blocks - 1))
     for i, kind in enumerate(cfg.up_block_types):
         for j in range(cfg.layers_per_block + 1):
             params[f"up_{i}_res_{j}"] = _resnet(sd, f"up_blocks.{i}.resnets.{j}")
             if kind == "cross":
                 params[f"up_{i}_attn_{j}"] = _transformer2d(
-                    sd, f"up_blocks.{i}.attentions.{j}")
+                    sd, f"up_blocks.{i}.attentions.{j}",
+                    cfg.depth_for_block(n_blocks - 1 - i))
         if i < len(cfg.up_block_types) - 1:
             params[f"up_{i}_upsample"] = {
                 "conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")}

@@ -37,3 +37,40 @@ def test_unet_export_port_roundtrip(tmp_path):
     out = unet.apply({"params": ported}, lat, jnp.zeros((1,), jnp.int32), ctx)
     out0 = unet.apply({"params": params}, lat, jnp.zeros((1,), jnp.int32), ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-6)
+
+
+def test_sdxl_shaped_roundtrip(tmp_path):
+    """Roundtrip with depth>1, addition embeddings, and LCM cond proj."""
+    import dataclasses
+    from diffusion_models_moe_tpu.config import UNetConfig
+    cfg = UNetConfig(
+        block_out_channels=(16, 32, 64),
+        down_block_types=("plain", "cross", "cross"),
+        up_block_types=("cross", "cross", "plain"),
+        transformer_layers_per_block=(0, 2, 3),
+        attention_head_dim=(2, 4, 8),
+        cross_attention_dim=32, norm_num_groups=8,
+        addition_embed_dim=24, addition_time_embed_dim=8,
+        time_cond_proj_dim=16,
+    )
+    unet = UNet2DCondition(cfg)
+    lat = jnp.zeros((1, 16, 16, 4))
+    ctx = jnp.zeros((1, 8, 32))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,), jnp.int32),
+                       ctx, added_text_embeds=jnp.zeros((1, 24)),
+                       added_time_ids=jnp.zeros((1, 6)),
+                       timestep_cond=jnp.zeros((1, 16)))["params"]
+    sd = export_unet(params, cfg)
+    assert "add_embedding.linear_1.weight" in sd
+    assert "time_embedding.cond_proj.weight" in sd
+    assert "up_blocks.0.attentions.0.transformer_blocks.2.ff.net.2.weight" in sd
+    save_safetensors(sd, str(tmp_path / "diffusion_pytorch_model.safetensors"))
+    ported = port_unet(str(tmp_path), cfg)
+    flat_a = {tuple(str(k) for k in kp): v for kp, v
+              in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_b = {tuple(str(k) for k in kp): v for kp, v
+              in jax.tree_util.tree_flatten_with_path(ported)[0]}
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))
