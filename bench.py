@@ -49,6 +49,8 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3):
     labels = {layer_name(i): rng.permutation(np.arange(4 * d) % ((4 * d) // 20))
               for i, d in enumerate(cfg.unet.ff_dims())}
     ivs = build_moe_interventions(labels, topk_ratio=0.3)
+    if os.environ.get("DMOE_NO_MOE", "0") == "1":
+        ivs = None   # plain SD baseline, for measuring routing overhead
     print("# interventions built", file=sys.stderr)
 
     tcfg = cfg.text_encoder
