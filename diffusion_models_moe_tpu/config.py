@@ -7,7 +7,7 @@ dataclasses. Presets mirror the models the reference's factory loads
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 

@@ -19,10 +19,6 @@ from diffusion_models_moe_tpu.moefication.cluster import (balanced_kmeans,
 from diffusion_models_moe_tpu.taps import (LayerIntervention, Interventions,
                                            layer_name, patterns_from_labels)
 
-# Canonical FF module param paths inside the UNet param tree, execution order.
-_FF_PARAM_TEMPLATES = None
-
-
 def ff_param_paths(cfg: UNetConfig) -> list[tuple[str, ...]]:
     """Param-tree paths of each FF's `proj` Dense, canonical order (SD1.x: 16)."""
     paths = []

@@ -128,14 +128,3 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def intervention_shardings(ivs, mesh: Mesh):
-    """Interventions ride the tp axis where they index neurons: patterns (E, H) and
-    neuron masks shard their H axis to follow the gate shard."""
-    def shard_leaf(x):
-        if x is None:
-            return None
-        if x.ndim >= 2:
-            # last axis is H for patterns/neuron_mask; keep simple: replicate
-            return NamedSharding(mesh, P())
-        return NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(shard_leaf, ivs)

@@ -11,7 +11,6 @@ Layout conversions: torch Linear (out, in) -> flax (in, out); torch Conv
 from __future__ import annotations
 
 import os
-from typing import Callable
 
 import numpy as np
 
