@@ -80,8 +80,11 @@ class CLIPTextEncoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids: jax.Array, *,
                  tap: Optional[TapSpec] = None,
-                 ivs: Optional[Interventions] = None) -> jax.Array:
-        """input_ids: (B, S) int32. Returns last hidden state (B, S, D)."""
+                 ivs: Optional[Interventions] = None,
+                 return_penultimate: bool = False):
+        """input_ids: (B, S) int32. Returns the final-LN hidden state (B, S, D);
+        with `return_penultimate` also the pre-final-LN state one layer earlier
+        (SDXL conditions on hidden_states[-2])."""
         cfg = self.cfg
         b, s = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
@@ -90,10 +93,15 @@ class CLIPTextEncoder(nn.Module):
                          (cfg.max_length, cfg.hidden_size), jnp.float32)
         x = tok + pos[None, :s, :].astype(cfg.dtype)
         causal = nn.make_causal_mask(input_ids)
+        penultimate = None
         for i in range(cfg.num_layers):
             iv = ivs[i] if ivs is not None and i < len(ivs) else None
+            if i == cfg.num_layers - 1:
+                penultimate = x
             x = CLIPEncoderLayer(cfg, i, name=f"layers_{i}")(
                 x, causal, tap=tap, iv=iv)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         name="final_layer_norm")(x)
-        return x.astype(cfg.dtype)
+                         name="final_layer_norm")(x).astype(cfg.dtype)
+        if return_penultimate:
+            return x, penultimate
+        return x
