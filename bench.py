@@ -40,6 +40,9 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3):
     if os.environ.get("DMOE_FUSED", "1") == "0":
         cfg = dataclasses.replace(
             cfg, unet=dataclasses.replace(cfg.unet, use_fused_routing=False))
+    if os.environ.get("DMOE_FAST_NORM", "0") == "1":
+        cfg = dataclasses.replace(
+            cfg, unet=dataclasses.replace(cfg.unet, fast_norm=True))
     pipe = StableDiffusionPipeline(cfg)
     t_p = time.perf_counter()
     params = jax.block_until_ready(pipe.init_params(jax.random.PRNGKey(0)))

@@ -50,6 +50,9 @@ class UNetConfig:
     # rematerialize blocks in backward (training memory for FLOPs); ignored on
     # tapped/intervened forwards
     remat: bool = False
+    # normalization statistics in compute dtype instead of f32 (throughput A/B;
+    # keep False for fidelity-critical runs)
+    fast_norm: bool = False
     # SDXL additional conditioning: pooled text embedding width (0 = disabled)
     addition_embed_dim: int = 0
     # SDXL micro-conditioning time_ids count (6 for SDXL)

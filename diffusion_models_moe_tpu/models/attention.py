@@ -217,17 +217,18 @@ class BasicTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     use_fused_routing: bool = True
     flash_attention: bool = True
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, dtype=self.dtype,
                           flash=self.flash_attention, name="attn1")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
                           dtype=self.dtype, flash=self.flash_attention,
                           name="attn2")(h, context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
         x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
                                  ff_index=self.ff_index, dtype=self.dtype,
                                  use_fused_routing=self.use_fused_routing,
@@ -252,13 +253,14 @@ class Transformer2D(nn.Module):
     dtype: Any = jnp.float32
     use_fused_routing: bool = True
     flash_attention: bool = True
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, ivs=None):
         b, h, w, c = x.shape
         residual = x
         y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+                         dtype=self.norm_dtype, name="norm")(x).astype(self.dtype)
         y = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, self.dim)
         for d in range(self.depth):
@@ -271,6 +273,7 @@ class Transformer2D(nn.Module):
                 ff_mult=self.ff_mult, ff_activation=self.ff_activation,
                 dtype=self.dtype, use_fused_routing=self.use_fused_routing,
                 flash_attention=self.flash_attention,
+                norm_dtype=self.norm_dtype,
                 name=f"transformer_blocks_{d}",
             )(y, context, step_idx=step_idx, tap=tap, iv=iv)
         y = y.reshape(b, h, w, self.dim)

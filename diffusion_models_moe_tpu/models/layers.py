@@ -51,12 +51,13 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     use_time_emb: bool = True
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
         residual = x
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
-                         dtype=jnp.float32, name="norm1")(x)
+                         dtype=self.norm_dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
@@ -65,7 +66,7 @@ class ResnetBlock2D(nn.Module):
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
-                         dtype=jnp.float32, name="norm2")(h)
+                         dtype=self.norm_dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)

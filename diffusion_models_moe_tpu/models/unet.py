@@ -40,6 +40,7 @@ class UNet2DCondition(nn.Module):
         """
         cfg = self.cfg
         dt = cfg.dtype
+        ndt = dt if cfg.fast_norm else jnp.float32
         channels = list(cfg.block_out_channels)
 
         # --- time embedding ---------------------------------------------------
@@ -84,7 +85,7 @@ class UNet2DCondition(nn.Module):
                 norm_num_groups=cfg.norm_num_groups,
                 ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
                 dtype=dt, use_fused_routing=cfg.use_fused_routing,
-                flash_attention=cfg.flash_attention, name=name)
+                flash_attention=cfg.flash_attention, norm_dtype=ndt, name=name)
 
         tkw = {} if do_remat else dict(step_idx=step_idx, tap=tap, ivs=ivs)
         ff_index = 0
@@ -96,6 +97,7 @@ class UNet2DCondition(nn.Module):
             out_ch = channels[i]
             for j in range(cfg.layers_per_block):
                 h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
+                               norm_dtype=ndt,
                                name=f"down_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"down_{i}_attn_{j}",
@@ -108,12 +110,12 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ------------------------------------------------------------------
         mid_ch = channels[-1]
-        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt,
+        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
                        name="mid_res_0")(h, temb)
         h = make_transformer(mid_ch, ff_index, "mid_attn_0",
                              len(channels) - 1)(h, context, **tkw)
         ff_index += cfg.depth_for_block(len(channels) - 1)
-        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt,
+        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
                        name="mid_res_1")(h, temb)
 
         # --- up path ----------------------------------------------------------------
@@ -124,6 +126,7 @@ class UNet2DCondition(nn.Module):
                 res = res_stack.pop()
                 h = jnp.concatenate([h, res], axis=-1)
                 h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
+                               norm_dtype=ndt,
                                name=f"up_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"up_{i}_attn_{j}",
@@ -134,7 +137,7 @@ class UNet2DCondition(nn.Module):
 
         # --- out -----------------------------------------------------------------
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, name="conv_norm_out")(h)
+                         dtype=ndt, name="conv_norm_out")(h)
         h = nn.silu(h).astype(dt)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt,
                     name="conv_out")(h)
