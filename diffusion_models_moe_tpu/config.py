@@ -41,10 +41,12 @@ class UNetConfig:
     # O(E^2) rank-count dominates); default off until the full-FFN fusion lands.
     use_fused_routing: bool = False
     # Pallas flash attention for long self-attention (TPU only; exact math within
-    # bf16 tolerance). Measured SLOWER than XLA's fused SDPA at SD1.x shapes
-    # (13.9ms vs 9.7ms @ b16/s4096/d40): the 40->128 head-dim lane padding costs
-    # more than the fusion saves. Worth enabling for models with >=128-dim heads.
-    flash_attention: bool = False
+    # bf16 tolerance). Profiling the full UNet showed XLA materializes the f32
+    # (B, heads, S, S) score tensor in HBM (2.1GB at b16/s4096) making attention
+    # 67% of the step and HBM-bound; the flash kernel keeps scores in VMEM.
+    # (A standalone XLA-attention microbenchmark is misleading: 9.7ms in
+    # isolation vs 34.7ms in-graph.)
+    flash_attention: bool = True
     # LCM guidance-scale conditioning width (0 = disabled; LCM models use 256)
     time_cond_proj_dim: int = 0
     # rematerialize blocks in backward (training memory for FLOPs); ignored on
