@@ -42,11 +42,17 @@ class Attention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim)
 
-        from diffusion_models_moe_tpu.ops.flash import (flash_self_attention,
+        from diffusion_models_moe_tpu.ops.flash import (flash_cross_attention,
+                                                        flash_self_attention,
                                                         use_flash)
-        if is_self and use_flash(x.shape[1], context.shape[1], self.flash):
-            out = flash_self_attention(split(q), split(k), split(v),
-                                       sm_scale=1.0 / (head_dim ** 0.5))
+        if use_flash(x.shape[1], context.shape[1], self.flash):
+            if is_self:
+                out = flash_self_attention(split(q), split(k), split(v),
+                                           sm_scale=1.0 / (head_dim ** 0.5))
+            else:
+                out = flash_cross_attention(split(q), split(k), split(v),
+                                            sm_scale=1.0 / (head_dim ** 0.5),
+                                            kv_valid=context.shape[1])
         else:
             out = jax.nn.dot_product_attention(split(q), split(k), split(v))
         out = out.reshape(x.shape[0], x.shape[1], self.query_dim)

@@ -21,33 +21,68 @@ def _pad_head_dim(x: jax.Array, target: int) -> jax.Array:
     return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, target - d),))
 
 
+def _block_sizes(q_seq: int, kv_seq: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+    bq = min(512, q_seq)
+    bk = min(512, kv_seq)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale",))
 def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          sm_scale: float) -> jax.Array:
     """q, k, v: (B, S, H, D) -> (B, S, H, D). Self-attention, no mask."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (BlockSizes,
-                                                                 flash_attention)
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
     b, s, h, d = q.shape
     d_pad = max(128, ((d + 127) // 128) * 128)
 
     def to_bhsd(x):
         return _pad_head_dim(x, d_pad).transpose(0, 2, 1, 3)
 
-    blk = min(512, s)
-    block_sizes = BlockSizes(
-        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-        block_q_major_dkv=blk, block_k_major_dkv=blk,
-        block_k_dkv=blk, block_q_dkv=blk,
-        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
-    )
     out = flash_attention(to_bhsd(q), to_bhsd(k), to_bhsd(v),
                           causal=False, sm_scale=sm_scale,
-                          block_sizes=block_sizes)
+                          block_sizes=_block_sizes(s, s))
+    return out.transpose(0, 2, 1, 3)[..., :d]
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "kv_valid"))
+def flash_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          sm_scale: float, kv_valid: int) -> jax.Array:
+    """Cross-attention with kv padded up to a lane multiple and masked out via
+    segment ids (text kv is 77 tokens; XLA otherwise materializes the f32
+    (B, H, S_q, kv_pad) score tensor in HBM)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (SegmentIds,
+                                                                 flash_attention)
+    b, s_q, h, d = q.shape
+    kv_seq = k.shape[1]
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    kv_pad = max(128, ((kv_seq + 127) // 128) * 128)
+
+    def pad_kv(x):
+        x = _pad_head_dim(x, d_pad)
+        return jnp.pad(x, ((0, 0), (0, kv_pad - kv_seq), (0, 0), (0, 0)))
+
+    qb = _pad_head_dim(q, d_pad).transpose(0, 2, 1, 3)
+    kb = pad_kv(k).transpose(0, 2, 1, 3)
+    vb = pad_kv(v).transpose(0, 2, 1, 3)
+    kv_ids = (jax.lax.broadcasted_iota(jnp.int32, (b, kv_pad), 1)
+              < kv_valid).astype(jnp.int32)
+    seg = SegmentIds(q=jnp.ones((b, s_q), jnp.int32), kv=kv_ids)
+    out = flash_attention(qb, kb, vb, segment_ids=seg, causal=False,
+                          sm_scale=sm_scale,
+                          block_sizes=_block_sizes(s_q, kv_pad))
     return out.transpose(0, 2, 1, 3)[..., :d]
 
 
 def use_flash(q_seq: int, kv_seq: int, enabled: bool) -> bool:
-    """Flash pays off on long self-attention; cross-attention (kv=77) and tiny
-    grids stay on XLA."""
+    """Flash for long self-attention only. Cross-attention (kv = 77 text tokens)
+    measured FASTER on XLA (bench 0.897 vs 0.859 img/s with
+    flash_cross_attention): its padded score tensor is small (67MB) while the
+    flash path pays kv padding to 128 + segment masking + launch overhead."""
     return (enabled and q_seq == kv_seq and q_seq >= 256
             and q_seq % 128 == 0 and jax.default_backend() == "tpu")
