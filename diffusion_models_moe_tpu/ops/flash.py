@@ -23,8 +23,9 @@ def _pad_head_dim(x: jax.Array, target: int) -> jax.Array:
 
 def _block_sizes(q_seq: int, kv_seq: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
-    bq = min(512, q_seq)
-    bk = min(512, kv_seq)
+    # swept on v5e at b16/s4096/d128: 1024/1024 beats 512/512 by ~6%
+    bq = min(1024, q_seq)
+    bk = min(1024, kv_seq)
     return BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk,
