@@ -4,8 +4,9 @@ Rebuilds the reference's eval loops (benchmarks/eval_coco.py:152-287,
 i2p_eval.py:105-258, artist_removal.py:93-215): iterate a prompt dataset in batches,
 generate baseline and intervened images, save pairs, skip batches whose outputs
 already exist (resume-by-skip; reference: eval_coco.py:252-254). Batches run as one
-jitted call; multi-chip throughput comes from sharding the batch over the 'dp' mesh
-axis rather than the reference's batch<=4 single GPU.
+jitted call; pass `mesh=` (any Mesh with a 'dp' axis) to shard each batch over
+devices instead of the reference's batch<=4 single GPU — batch_size should then be
+a multiple of the 'dp' axis size.
 """
 from __future__ import annotations
 
@@ -40,7 +41,8 @@ def _pad_batch(ids: np.ndarray, batch: int) -> tuple[np.ndarray, int]:
 
 def run_eval(pipe, params, tokenize: Callable[[Sequence[str]], np.ndarray],
              prompts: Sequence[str], cfg: EvalRunConfig,
-             ivs=None, name_fn: Optional[Callable[[int], str]] = None) -> dict:
+             ivs=None, name_fn: Optional[Callable[[int], str]] = None,
+             mesh=None) -> dict:
     """Generate images for `prompts`, optionally twice (baseline + intervened),
     saving `{out_dir}/sd_{i}.png` and `{out_dir}/removed_{i}.png` pairs (the
     reference's file naming, benchmarks/eval_coco.py:259-281)."""
@@ -72,13 +74,15 @@ def run_eval(pipe, params, tokenize: Callable[[Sequence[str]], np.ndarray],
             imgs, _ = pipe.generate(params, jnp.asarray(cond_ids),
                                     jnp.asarray(uncond_ids), key,
                                     num_steps=cfg.num_steps,
-                                    guidance_scale=cfg.guidance_scale)
+                                    guidance_scale=cfg.guidance_scale,
+                                    mesh=mesh)
             for img, i in zip(to_pil(imgs[:n_real]), idxs):
                 img.save(os.path.join(cfg.out_dir, f"sd_{name_fn(i)}.png"))
         imgs, _ = pipe.generate(params, jnp.asarray(cond_ids),
                                 jnp.asarray(uncond_ids), key,
                                 num_steps=cfg.num_steps,
-                                guidance_scale=cfg.guidance_scale, ivs=ivs)
+                                guidance_scale=cfg.guidance_scale, ivs=ivs,
+                                mesh=mesh)
         for img, i in zip(to_pil(imgs[:n_real]), idxs):
             img.save(os.path.join(cfg.out_dir, f"removed_{name_fn(i)}.png"))
         done += len(chunk)

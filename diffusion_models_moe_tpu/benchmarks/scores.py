@@ -72,6 +72,7 @@ def load_lpips(net: str = "alex") -> Callable:
         with torch.no_grad():
             return model(ta * 2 - 1, tb * 2 - 1).numpy().reshape(-1)
 
+    dist.metric_name = f"lpips_{net}"
     return dist
 
 
@@ -84,6 +85,8 @@ def clip_perceptual_distance(featurize: Callable) -> Callable:
         fb /= np.maximum(np.linalg.norm(fb, axis=-1, keepdims=True), 1e-12)
         return 1.0 - np.sum(fa * fb, axis=-1)
 
+    # NOT LPIPS: label the metric so downstream numbers can't be confused
+    dist.metric_name = "clip_cosine_distance"
     return dist
 
 
@@ -96,5 +99,6 @@ def perceptual_between_dirs(a_dir: str, b_dir: str, dist: Callable,
         vals.append(dist(load_images([a for a, _ in chunk]),
                          load_images([b for _, b in chunk])))
     vals = np.concatenate(vals) if vals else np.zeros(0)
-    return {"mean": float(vals.mean()) if vals.size else float("nan"),
+    return {"metric": getattr(dist, "metric_name", "perceptual_distance"),
+            "mean": float(vals.mean()) if vals.size else float("nan"),
             "n": int(vals.size)}

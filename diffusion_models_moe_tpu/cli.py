@@ -51,7 +51,12 @@ def _load_pipe(args):
         maxlen = pipe.config.text_encoder.max_length
 
         def tokenize(texts):
-            rng = np.random.RandomState(abs(hash(tuple(texts))) % (2 ** 31))
+            # stable across processes (python's hash() varies with
+            # PYTHONHASHSEED, which would break resume-by-skip on restart)
+            import hashlib
+            digest = hashlib.md5("\x00".join(texts).encode()).digest()
+            rng = np.random.RandomState(
+                int.from_bytes(digest[:4], "little") % (2 ** 31))
             return rng.randint(0, vocab, (len(texts), maxlen)).astype(np.int32)
 
     return pipe, params, tokenize

@@ -9,8 +9,80 @@ word list. Subject lists ship as data below and can be overridden from files
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Optional, Sequence
+
+# ---- shipped dataset assets -----------------------------------------------------
+# The curated concept/prompt files from the reference
+# (reference: modularity/datasets/*.txt — 71 files: memorized LAION captions,
+# I2P prompt dumps, artist lists, professions, validation subjects). These are
+# DATA, copied verbatim; they define the protocols' operating points.
+DATASETS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "datasets")
+
+
+def dataset_path(name: str) -> str:
+    return os.path.join(DATASETS_DIR, name)
+
+
+def has_dataset(name: str) -> bool:
+    return os.path.exists(dataset_path(name))
+
+
+@functools.lru_cache(maxsize=128)
+def load_dataset_file(name: str) -> tuple[str, ...]:
+    """Non-empty stripped lines of a shipped dataset file."""
+    with open(dataset_path(name)) as f:
+        return tuple(line.strip() for line in f if line.strip())
+
+
+def memorized_captions(split: int | str = "") -> list[str]:
+    """Memorized LAION captions — the memorization protocol's input
+    (reference: benchmarks/inference_mem.py, modularity/datasets/memorize_*.txt).
+    `split` in 0..19 picks one 25-caption chunk; '' loads the 500-caption file."""
+    name = f"memorize_{split}.txt" if split != "" else "memorize.txt"
+    return list(load_dataset_file(name))
+
+
+def non_memorized_captions() -> list[str]:
+    """Control captions labeled 0 in the AP selector (reference:
+    modularity/skilled_neuron_ap.py non_mem.txt)."""
+    return list(load_dataset_file("non_mem.txt"))
+
+
+def i2p_prompts(variant: str = "") -> list[str]:
+    """I2P NSFW eval prompts (reference: benchmarks/i2p_eval.py,
+    modularity/datasets/i2p_prompts_seed_0*.txt)."""
+    name = f"i2p_prompts_seed_0{('_' + variant) if variant else ''}.txt"
+    return list(load_dataset_file(name))
+
+
+def artist_names(n: int = 100, part: int = 1) -> list[str]:
+    """Artist lists for the {1,5,10,50,100}-artist removal protocols
+    (reference: modularity/datasets/{n}artists*.txt)."""
+    if n == 100:
+        return list(load_dataset_file(f"100artists_{part}.txt"))
+    if n == 1:
+        return list(load_dataset_file("1artist.txt"))
+    return list(load_dataset_file(f"{n}artists.txt"))
+
+
+def professions(gender: Optional[str] = None) -> list[str]:
+    """Profession lists for the gender-debias protocol (reference:
+    modularity/datasets/{male,female}_professions.txt, professions.txt)."""
+    if gender in ("male", "female"):
+        return list(load_dataset_file(f"{gender}_professions.txt"))
+    return list(load_dataset_file("professions.txt"))
+
+
+def erasing_objects() -> list[str]:
+    return list(load_dataset_file("erasing_objects.txt"))
+
+
+def _file_or(name: str, fallback: Sequence[str]) -> list[str]:
+    return list(load_dataset_file(name)) if has_dataset(name) else list(fallback)
+
 
 # ---- built-in subject lists (framework data; override with files as needed) ----
 THINGS = [
@@ -66,7 +138,11 @@ def concept_prompts(concept: str, subjects: Optional[Sequence[str]] = None,
                          signal is in generations, not prompts)
     """
     low = concept.lower()
-    things = list(subjects) if subjects is not None else list(THINGS)
+    if subjects is not None:
+        things = list(subjects)
+    else:
+        # shipped things.txt is the reference's default subject list
+        things = _file_or("things.txt", THINGS)
 
     if low in _PREFIX_ADJECTIVES:
         return PromptPairs([f"a {t}" for t in things],
@@ -88,11 +164,20 @@ def concept_prompts(concept: str, subjects: Optional[Sequence[str]] = None,
         adj = [f"a photo of a {v} {h}" for v in variants for h in humans]
         return PromptPairs(base, adj, is_nsfw=True)
     if low == "gender":
-        subjects = subjects if subjects is not None else PROFESSIONS
+        if subjects is None:
+            subjects = _file_or("professions.txt", PROFESSIONS)
         prompts = [f"a headshot of a {p}" for p in subjects]
         return PromptPairs(prompts, list(prompts))
     if low.startswith("memorize") or low == "violence":
-        caps = list(captions or [])
+        caps = list(captions) if captions else None
+        if caps is None and low == "violence" and has_dataset("violent.txt"):
+            caps = list(load_dataset_file("violent.txt"))
+        if caps is None and low.startswith("memorize"):
+            split = low.removeprefix("memorize").lstrip("_")
+            name = f"memorize_{split}.txt" if split else "memorize.txt"
+            if has_dataset(name):
+                caps = list(load_dataset_file(name))
+        caps = caps or []
         return PromptPairs(["" for _ in caps], caps, is_nsfw=(low == "violence"))
     if low in _TABLE_OBJECTS:
         return PromptPairs([f"a photo of a table" for _ in things],
@@ -112,6 +197,13 @@ def concept_prompts(concept: str, subjects: Optional[Sequence[str]] = None,
 def validation_prompts(concept: str, subjects: Optional[Sequence[str]] = None
                        ) -> PromptPairs:
     """Held-out subjects for removal validation (reference:
-    modularity/remove_experts.py:160-173 uses val_things_{concept}.txt)."""
+    modularity/remove_experts.py:160-173 uses val_things_{concept}.txt).
+
+    If the shipped `val_things_{concept}.txt` exists, its lines are used AS the
+    validation prompts directly (the reference files contain full prompts, not
+    subjects)."""
+    if subjects is None and has_dataset(f"val_things_{concept}.txt"):
+        val_prompts = list(load_dataset_file(f"val_things_{concept}.txt"))
+        return PromptPairs(val_prompts, list(val_prompts))
     val = subjects if subjects is not None else ANIMALS
     return concept_prompts(concept, subjects=val)

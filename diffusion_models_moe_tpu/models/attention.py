@@ -29,15 +29,19 @@ class Attention(nn.Module):
     context_dim: Optional[int] = None
     dtype: Any = jnp.float32
     flash: bool = True
+    qkv_bias: bool = False               # PixArt uses attention_bias=True
 
     @nn.compact
     def __call__(self, x, context=None):
         is_self = context is None
         context = x if context is None else context
         head_dim = self.query_dim // self.heads
-        q = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(self.query_dim, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = nn.Dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_q")(x)
+        k = nn.Dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_k")(context)
+        v = nn.Dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_v")(context)
 
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim)
@@ -67,7 +71,9 @@ class GEGLUFeedForward(nn.Module):
     (reference routing math: neuron_receivers/moefy.py:10-27). `activation`:
       geglu       exact GELU gate (SD1.x default)
       geglu-relu  ReLUfied gate (reference: sparsity/relufy_model.py:28-40)
-      gelu        non-gated GELU FF (PixArt path; reference: utils.py:119-127)
+      gelu        non-gated exact-GELU FF
+      gelu-tanh   non-gated tanh-approximate GELU (PixArt path — diffusers uses
+                  activation_fn='gelu-approximate'; reference: utils.py:119-127)
     """
     dim: int
     mult: int = 4
@@ -94,7 +100,8 @@ class GEGLUFeedForward(nn.Module):
         else:
             hidden = None
             gate = nn.Dense(hidden_dim, dtype=self.dtype, name="proj")(x)
-            gate = jax.nn.gelu(gate, approximate=False)
+            gate = jax.nn.gelu(gate,
+                               approximate=self.activation == "gelu-tanh")
 
         if tap is not None and tap.any_gate_stat():
             self._sow_gate_stats(gate, tap, iv)

@@ -79,19 +79,22 @@ class PixArtBlock(nn.Module):
                          name="norm1")(x).astype(dt)
         h = _modulate(h, shift_sa, scale_sa)
         x = x + gate_sa[:, None, :] * Attention(
-            cfg.hidden_size, cfg.num_heads, dtype=dt, name="attn1")(h)
-        # cross-attention (PixArt: un-modulated)
+            cfg.hidden_size, cfg.num_heads, dtype=dt, qkv_bias=True,
+            name="attn1")(h)
+        # cross-attention (PixArt: un-modulated; attention_bias=True in diffusers)
         x = x + Attention(cfg.hidden_size, cfg.num_heads,
                           context_dim=cfg.cross_attention_dim, dtype=dt,
-                          name="attn2")(x, context)
+                          qkv_bias=True, name="attn2")(x, context)
         h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32,
                          name="norm2")(x).astype(dt)
         h = _modulate(h, shift_ff, scale_ff)
         iv = None
         if ivs is not None and self.ff_index < len(ivs):
             iv = ivs[self.ff_index]
-        # non-gated GELU FF: the reference's PixArt tap path (mean-gate stats)
-        h = GEGLUFeedForward(cfg.hidden_size, cfg.ff_mult, activation="gelu",
+        # non-gated GELU FF: the reference's PixArt tap path (mean-gate stats);
+        # tanh-approximate to match diffusers' activation_fn='gelu-approximate'
+        h = GEGLUFeedForward(cfg.hidden_size, cfg.ff_mult,
+                             activation="gelu-tanh",
                              ff_index=self.ff_index, dtype=dt,
                              name="ff")(h, step_idx=step_idx, tap=tap, iv=iv)
         return x + gate_ff[:, None, :] * h
@@ -129,10 +132,16 @@ class PixArtTransformer2D(nn.Module):
                          name="adaln_single")(nn.silu(temb))
         cond6 = cond6.reshape(b, 6, cfg.hidden_size)
 
+        # caption projection: 2-layer MLP with tanh-GELU, matching diffusers'
+        # PixArtAlphaTextProjection (linear_1 -> gelu_tanh -> linear_2) so real
+        # checkpoints port key-for-key
         context = encoder_hidden_states.astype(dt)
         if context.shape[-1] != cfg.cross_attention_dim:
             context = nn.Dense(cfg.cross_attention_dim, dtype=dt,
-                               name="caption_projection")(context)
+                               name="caption_linear_1")(context)
+            context = jax.nn.gelu(context, approximate=True)
+            context = nn.Dense(cfg.cross_attention_dim, dtype=dt,
+                               name="caption_linear_2")(context)
 
         for i in range(cfg.num_layers):
             x = PixArtBlock(cfg, ff_index=i, name=f"blocks_{i}")(

@@ -89,9 +89,12 @@ def balanced_kmeans(x: np.ndarray, n_clusters: int, *, n_iter: int = 25,
         if method == "sinkhorn":
             plan = np.asarray(_sinkhorn_plan(
                 jnp.asarray(dist), jnp.asarray(0.05 * (0.85 ** it))))
-            # exact rounding of the soft plan: greedy on -log(plan)
+            # exact rounding of the soft plan: greedy on -log(plan); sanitize
+            # (NaNs appear when the annealed eps underflows every logit) and
+            # clamp BEFORE the log so no divide-by-zero/invalid warnings fire
+            plan = np.nan_to_num(plan, nan=0.0, posinf=0.0, neginf=0.0)
             new_labels = _greedy_balanced_assign(
-                -np.log(np.maximum(plan, 1e-300)), size)
+                -np.log(np.clip(plan, 1e-300, None)), size)
         elif method == "greedy":
             new_labels = _greedy_balanced_assign(dist, size)
         elif method == "exact":

@@ -20,18 +20,31 @@ from diffusion_models_moe_tpu.taps import (LayerIntervention, Interventions,
                                            layer_name, patterns_from_labels)
 
 def ff_param_paths(cfg: UNetConfig) -> list[tuple[str, ...]]:
-    """Param-tree paths of each FF's `proj` Dense, canonical order (SD1.x: 16)."""
-    paths = []
+    """Param-tree paths of each FF's parent module, canonical order.
+
+    List index == global ff_index for ALL geometries: depth-stacked inner
+    blocks (SDXL's transformer_layers_per_block=(0,2,10) -> 70 FFs) expand to
+    consecutive indices, matching Transformer2D's ff_index assignment
+    (models/attention.py Transformer2D.__call__). SD1.x stays the 16-layer
+    order of the reference (moefication/helper.py:6-19)."""
+    paths: list[tuple[str, ...]] = []
+
+    def add(prefix: str, block_idx: int):
+        for d in range(cfg.depth_for_block(block_idx)):
+            paths.append((prefix, f"transformer_blocks_{d}", "ff"))
+
     for i, kind in enumerate(cfg.down_block_types):
         if kind == "cross":
             for j in range(cfg.layers_per_block):
-                paths.append((f"down_{i}_attn_{j}",))
-    paths.append(("mid_attn_0",))
+                add(f"down_{i}_attn_{j}", i)
+    add("mid_attn_0", len(cfg.block_out_channels) - 1)
+    rev = list(range(len(cfg.block_out_channels)))[::-1]
     for i, kind in enumerate(cfg.up_block_types):
         if kind == "cross":
             for j in range(cfg.layers_per_block + 1):
-                paths.append((f"up_{i}_attn_{j}",))
-    return [p + ("transformer_blocks_0", "ff") for p in paths]
+                add(f"up_{i}_attn_{j}", rev[i])
+    assert len(paths) == cfg.n_ff_layers, (len(paths), cfg.n_ff_layers)
+    return paths
 
 
 def gate_weights(unet_params: dict, cfg: UNetConfig) -> list[np.ndarray]:
@@ -79,12 +92,17 @@ def load_labels(path: str) -> dict[str, np.ndarray]:
 
 
 def build_moe_interventions(labels: dict[str, np.ndarray], topk_ratio: float,
-                            n_layers: int = 16,
+                            n_layers: Optional[int] = None,
                             expert_remove: Optional[dict] = None,
                             expert_boost: Optional[dict] = None
                             ) -> Interventions:
     """labels -> per-layer routing interventions with k = int(E * topk_ratio)
-    (reference: moefication/helper.py:48-62 attaches `patterns` and `k`)."""
+    (reference: moefication/helper.py:48-62 attaches `patterns` and `k`).
+    n_layers defaults to covering every labeled layer (16 for SD1.x labels,
+    70 for SDXL)."""
+    if n_layers is None:
+        n_layers = 1 + max(
+            (int(k.rsplit("_", 1)[1]) for k in labels), default=15)
     ivs = []
     for idx in range(n_layers):
         name = layer_name(idx)

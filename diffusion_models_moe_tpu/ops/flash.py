@@ -9,6 +9,7 @@ carries the real head dim.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,11 +22,24 @@ def _pad_head_dim(x: jax.Array, target: int) -> jax.Array:
     return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, target - d),))
 
 
+def _env_blocks() -> tuple[int, int]:
+    """Block sizes are a tunable, not a hardcode. A v5e sweep showed 1024/1024
+    ~6% faster than 512/512, but the only driver-conditions bench at 1024
+    crashed the TPU worker (BENCH_r01.json kernel fault) — default stays at the
+    last verified-green 512/512; opt into larger via DMOE_FLASH_BLOCKS=bq,bk."""
+    spec = os.environ.get("DMOE_FLASH_BLOCKS", "512,512")
+    try:
+        bq_s, bk_s = spec.split(",")
+        return int(bq_s), int(bk_s)
+    except ValueError:
+        return 512, 512
+
+
 def _block_sizes(q_seq: int, kv_seq: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
-    # swept on v5e at b16/s4096/d128: 1024/1024 beats 512/512 by ~6%
-    bq = min(1024, q_seq)
-    bk = min(1024, kv_seq)
+    bq_env, bk_env = _env_blocks()
+    bq = min(bq_env, q_seq)
+    bk = min(bk_env, kv_seq)
     return BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk,

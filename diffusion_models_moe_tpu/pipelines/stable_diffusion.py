@@ -61,6 +61,14 @@ class StableDiffusionPipeline:
     """Bundles the three Flax modules + a scheduler; all compute paths are pure."""
 
     def __init__(self, config: PipelineConfig):
+        if (config.prediction_type == "v_prediction"
+                and config.scheduler not in ("ddim", "pndm", "dpm")):
+            # the v->eps conversion in `denoise` uses the raw carried latent,
+            # which is only x_t-space for these schedulers (Euler carries
+            # sigma-space sqrt(sigma^2+1)*x_t — silently wrong otherwise)
+            raise ValueError(
+                f"prediction_type='v_prediction' supports schedulers "
+                f"ddim/pndm/dpm, not {config.scheduler!r}")
         self.config = config
         self.unet = UNet2DCondition(config.unet)
         self.text_encoder = CLIPTextEncoder(config.text_encoder)
@@ -182,16 +190,38 @@ class StableDiffusionPipeline:
                  tap: Optional[TapSpec] = None,
                  ivs: Optional[Interventions] = None,
                  text_ivs: Optional[Interventions] = None,
-                 decode: bool = True):
+                 decode: bool = True,
+                 mesh=None):
         """End-to-end generation: ids -> images in [0, 1] (B, 8s, 8s, 3), plus taps.
 
         Matches the reference flow of `observe_activation` (hooked full pipeline
         call; reference: neuron_receivers/base_receiver.py:40-77) but returns the
         per-(t, l) statistics as stacked arrays.
+
+        With `mesh` (a Mesh containing a 'dp' axis), the prompt batch is sharded
+        over 'dp' and params/interventions are replicated — data-parallel
+        inference over ICI, the TPU-native replacement for the reference's
+        batch<=4 single-GPU eval loop (SURVEY.md §5.8 inference row). Batch must
+        be divisible by the 'dp' axis size. XLA propagates the batch sharding
+        through the whole traced generate; no other annotation needed.
         """
         cfg = self.config
         num_steps = num_steps or cfg.num_inference_steps
         g = cfg.guidance_scale if guidance_scale is None else guidance_scale
+        if mesh is not None:
+            from diffusion_models_moe_tpu.parallel.mesh import (batch_sharding,
+                                                                replicated)
+            cond_ids = jax.device_put(jnp.asarray(cond_ids),
+                                      batch_sharding(mesh, cond_ids.ndim))
+            uncond_ids = jax.device_put(jnp.asarray(uncond_ids),
+                                        batch_sharding(mesh, uncond_ids.ndim))
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            key = jax.device_put(key, rep)
+            if ivs is not None:
+                ivs = jax.device_put(ivs, rep)
+            if text_ivs is not None:
+                text_ivs = jax.device_put(text_ivs, rep)
         fn = self._jitted_generate(num_steps, g, tap, decode,
                                    ivs is not None, text_ivs is not None)
         return fn(params, cond_ids, uncond_ids, key, ivs, text_ivs)
@@ -202,9 +232,19 @@ class StableDiffusionPipeline:
         def run(params, cond_ids, uncond_ids, key, ivs, text_ivs):
             cfg = self.config
             b = cond_ids.shape[0]
-            cond_emb, _ = self.encode_text(params, cond_ids, None, text_ivs)
+            # text taps accumulate over BOTH encode passes: the reference's text
+            # hooks fire on the prompt and the negative encode alike, and the
+            # concept signal lives in the cond pass (squared column sums are
+            # additive across calls; reference: wanda_receiver.py:37-72)
+            cond_emb, cond_taps = self.encode_text(params, cond_ids, tap,
+                                                   text_ivs)
             uncond_emb, text_taps = self.encode_text(params, uncond_ids, tap,
                                                      text_ivs)
+            if cond_taps and text_taps:
+                text_taps = jax.tree_util.tree_map(jnp.add, cond_taps,
+                                                   text_taps)
+            elif cond_taps:
+                text_taps = cond_taps
             if isinstance(self.scheduler, LCMScheduler):
                 context = cond_emb        # guidance is embedded, not CFG
             else:

@@ -49,7 +49,10 @@ class LCMScheduler:
         # the final boundary denoises fully: alpha_prev = 1 (pure x0)
         a_prev = np.where(np.arange(len(ts)) < len(ts) - 1,
                           acp[np.clip(prev_ts, 0, None)], 1.0)
-        s = ts.astype(np.float64) / self.timestep_scaling
+        # boundary scalings use the SCALED timestep s = t * timestep_scaling
+        # (multiplied, not divided — at t=19, c_skip must be ~6.9e-6, i.e. the
+        # consistency output is almost pure c_out*x0 near t=0)
+        s = ts.astype(np.float64) * self.timestep_scaling
         sd2 = self.sigma_data ** 2
         coeffs = {
             "sqrt_a_t": jnp.asarray(np.sqrt(a_t), jnp.float32),

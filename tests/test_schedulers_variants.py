@@ -200,3 +200,18 @@ def test_sdxl_config_preset():
     # SDXL: down 2x2 + 2x10 = 24; mid 10; up 3x10 + 3x2 = 36 -> 70 GEGLU FFs
     assert cfg.unet.n_ff_layers == 70
     assert cfg.unet.heads_for_block(2) == 20
+
+
+def test_lcm_boundary_scalings_match_diffusers():
+    """c_skip/c_out use the SCALED timestep s = t * timestep_scaling (diffusers
+    LCMScheduler.get_scalings_for_boundary_condition_discrete); round-1 bug
+    divided instead of multiplying (ADVICE.md high)."""
+    sched = LCMScheduler.create()
+    ts, coeffs, _ = sched.set_timesteps(4)
+    s = np.asarray(ts, np.float64) * 10.0
+    np.testing.assert_allclose(np.asarray(coeffs["c_skip"]),
+                               0.25 / (s ** 2 + 0.25), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(coeffs["c_out"]),
+                               s / np.sqrt(s ** 2 + 0.25), rtol=1e-5)
+    # near t=0 the consistency output must be almost pure x0
+    assert float(coeffs["c_skip"][-1]) < 1e-4

@@ -43,9 +43,41 @@ def test_max_gate_matches_full_dump(setup):
             sp, (full.reshape(t, -1) == 0).mean(axis=1), atol=1e-6)
 
 
-def test_neuron_removal_pins_gate_values(setup):
-    """Removed neurons' gates must read exactly the fill value in the dump
-    (reference invariant: remove_skilled_neurons.py:36-41)."""
+def test_neuron_fill_reaches_ff_output():
+    """Direct unit test that the RemoveNeurons fill value reaches the FF output
+    y = hidden * fill (reference invariant: remove_skilled_neurons.py:36-41).
+    Taps observe the PRE-intervention gate by design, so this is checked on
+    GEGLUFeedForward itself, not via save_gate."""
+    from diffusion_models_moe_tpu.models.attention import GEGLUFeedForward
+    dim, mult = 8, 4
+    h = dim * mult
+    ff = GEGLUFeedForward(dim, mult)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, dim))
+    params = ff.init(jax.random.PRNGKey(1), x)["params"]
+    mask = jnp.ones((1, h), bool)  # pin every gate neuron at step 0
+
+    # fill = 0: y = hidden * 0 -> output is exactly the out-proj bias
+    out0 = ff.apply({"params": params}, x, step_idx=0,
+                    iv=LayerIntervention(neuron_mask=mask, neuron_fill=0.0))
+    np.testing.assert_allclose(
+        np.asarray(out0),
+        np.broadcast_to(np.asarray(params["out_proj_bias"]), out0.shape),
+        atol=1e-6)
+
+    # fill = -0.17: output must equal (hidden * fill) @ W2 + b computed directly
+    hg = x @ params["proj"]["kernel"] + params["proj"]["bias"]
+    hidden = hg[..., :h]
+    expected = ((hidden * GEGLU_REMOVAL_FILL) @ params["out_proj_kernel"]
+                + params["out_proj_bias"])
+    out1 = ff.apply({"params": params}, x, step_idx=0,
+                    iv=LayerIntervention(neuron_mask=mask))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_neuron_removal_changes_pipeline_output(setup):
+    """End-to-end: a partial neuron mask on layer 0 must change the final
+    latents (the intervention actually flows through the scanned loop)."""
     pipe, params, cond = setup
     uncond = jnp.zeros_like(cond)
     dims = pipe.config.unet.ff_dims()
@@ -54,13 +86,6 @@ def test_neuron_removal_pins_gate_values(setup):
     mask[:, :5] = True
     ivs = tuple([LayerIntervention(neuron_mask=jnp.asarray(mask))]
                 + [None] * 15)
-    _, taps = pipe.generate(params, cond, uncond, jax.random.PRNGKey(0),
-                            num_steps=2, tap=TapSpec(save_gate=True),
-                            ivs=ivs, decode=False)
-    full = np.asarray(taps["save_gate"][0])
-    # note: the tap observes the PRE-intervention gate (observation order matches
-    # the reference, which records stats before mutating); verify the effect via
-    # the downstream image instead
     img_base, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(0),
                                 num_steps=2, decode=False)
     img_rm, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(0),
