@@ -8,3 +8,6 @@ from diffusion_models_moe_tpu.taps import (TapSpec, LayerIntervention,
                                            GEGLU_REMOVAL_FILL)
 from diffusion_models_moe_tpu.pipelines.stable_diffusion import (
     StableDiffusionPipeline, flatten_taps, to_pil, blur_images)
+from diffusion_models_moe_tpu.pipelines.pixart import (
+    PixArtPipeline, PixArtPipelineConfig, pixart_512_config,
+    tiny_pixart_pipeline_config)

@@ -31,11 +31,18 @@ def _bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False else
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE)
+# CLIP's exact unicode word pattern (\p{L}/\p{N} classes need the `regex`
+# module; the stdlib-`re` ASCII variant silently mis-splits non-ASCII text —
+# e.g. artist names with diacritics — so it is only a fallback)
+_CLIP_PATTERN = (r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+                 r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+")
+try:
+    import regex as _regex
+    _PAT = _regex.compile(_CLIP_PATTERN, _regex.IGNORECASE)
+except ImportError:  # pragma: no cover
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+        r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE)
 
 
 class CLIPTokenizer:

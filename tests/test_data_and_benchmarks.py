@@ -174,3 +174,44 @@ def test_shipped_dataset_assets():
     # validation prompts come from val_things files verbatim
     vp = P.validation_prompts("Van Gogh")
     assert any("van gogh" in p.lower() for p in vp.base)
+
+
+def test_tokenizer_unicode_word_pattern(tmp_path):
+    """The word-split pattern must match CLIP's unicode \\p{L}/\\p{N} classes:
+    accented words stay single tokens, digits split one-by-one (round-1 used an
+    ASCII-only regex that mis-split non-ASCII artist names)."""
+    from diffusion_models_moe_tpu.data.tokenizer import (CLIPTokenizer,
+                                                         _bytes_to_unicode)
+    b2u = _bytes_to_unicode()
+    words = ["café", "über", "ño", "4", "2"]
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    merges = []
+    for w in words:
+        chars = [b2u[b] for b in w.encode()]
+        chars[-1] += "</w>"
+        for c in chars:
+            vocab.setdefault(c, len(vocab))
+        while len(chars) > 1:
+            merges.append((chars[0], chars[1]))
+            chars = [chars[0] + chars[1]] + chars[2:]
+            vocab.setdefault(chars[0], len(vocab))
+    (tmp_path / "vocab.json").write_text(
+        json.dumps(vocab, ensure_ascii=False), encoding="utf-8")
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges),
+        encoding="utf-8")
+    tok = CLIPTokenizer.from_dir(str(tmp_path), max_length=12)
+    inv = {v: k for k, v in tok.encoder.items()}
+
+    def pieces(text):
+        ids = tok([text])[0]
+        return [inv[i] for i in ids if i not in (tok.bos, tok.eos)]
+
+    def word(w):  # expected single-token byte-level form of a full word
+        chars = [b2u[b] for b in w.encode()]
+        chars[-1] += "</w>"
+        return "".join(chars)
+
+    assert pieces("Café ÜBER ño") == [word("café"), word("über"), word("ño")]
+    # digits split singly ([\p{N}]), never as a multi-digit word
+    assert pieces("42") == [word("4"), word("2")]
