@@ -37,6 +37,9 @@ FT_METHODS = {
     "bias": [r".*/bias$", r".*_bias$"],
     "ff": [r".*/ff/.*"],
     "norm_bias": [r".*norm.*", r".*/bias$", r".*_bias$"],
+    # reference's combined variant (adapters.py:73-103 'norm_bias_attention')
+    "norm_bias_attention": [r".*norm.*", r".*/bias$", r".*_bias$",
+                            r".*/attn\d/.*"],
 }
 
 
@@ -56,6 +59,16 @@ class TrainConfig:
     use_ema: bool = True
     ft_method: str = "full"
     prediction_type: str = "epsilon"
+    # LR schedule (reference: train_relufied_sd.py:755-757 get_scheduler +
+    # warmup): "constant" | "cosine" | "linear"; warmup is linear from 0.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    # decay horizon for cosine/linear (reference: max_train_steps)
+    max_train_steps: int = 10000
+    # "adamw" | "adafactor" — adafactor is the TPU-native low-memory analogue
+    # of the reference's optional bnb 8-bit Adam (train_relufied_sd.py:764-771):
+    # factored second moments instead of quantized ones.
+    optimizer: str = "adamw"
 
 
 @flax.struct.dataclass
@@ -78,12 +91,33 @@ def trainable_mask(params, ft_method: str):
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def make_lr_schedule(cfg: TrainConfig):
+    """optax schedule matching the reference's get_scheduler + warmup
+    (train_relufied_sd.py:755-757)."""
+    decay_steps = max(cfg.max_train_steps - cfg.lr_warmup_steps, 1)
+    if cfg.lr_schedule == "constant":
+        body = optax.constant_schedule(cfg.learning_rate)
+    elif cfg.lr_schedule == "cosine":
+        body = optax.cosine_decay_schedule(cfg.learning_rate, decay_steps)
+    elif cfg.lr_schedule == "linear":
+        body = optax.linear_schedule(cfg.learning_rate, 0.0, decay_steps)
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.lr_warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.learning_rate,
+                                       cfg.lr_warmup_steps)
+        return optax.join_schedules([warmup, body], [cfg.lr_warmup_steps])
+    return body
+
+
 def make_optimizer(cfg: TrainConfig, params):
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                    eps=cfg.adam_eps, weight_decay=cfg.weight_decay),
-    )
+    lr = make_lr_schedule(cfg)
+    if cfg.optimizer == "adafactor":
+        opt = optax.adafactor(lr, weight_decay_rate=cfg.weight_decay or None)
+    else:
+        opt = optax.adamw(lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                          eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
     if cfg.ft_method != "full":
         tx = optax.masked(tx, trainable_mask(params, cfg.ft_method))
     if cfg.grad_accum_steps > 1:

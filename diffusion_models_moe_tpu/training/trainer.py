@@ -40,6 +40,9 @@ class RunConfig:
     max_checkpoints: int = 3
     resume: bool = True
     n_devices: Optional[int] = None
+    # generate validation images every N steps (0 = off); see
+    # make_validation_logger (reference: train_relufied_sd.py:1136-1151)
+    validation_every: int = 0
 
 
 def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
@@ -47,7 +50,8 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
                    batches: Iterator[dict],
                    params: dict,
                    tokenize: Optional[Callable] = None,
-                   log_fn: Optional[Callable[[dict], None]] = None) -> TrainState:
+                   log_fn: Optional[Callable[[dict], None]] = None,
+                   validation_fn: Optional[Callable] = None) -> TrainState:
     """`batches` yields {'images': (B,H,W,3) in [-1,1], 'input_ids': (B,S)} or
     pre-encoded {'latents', 'text_emb'}. `params` must contain 'unet' (the model
     being tuned, with ff_activation='geglu-relu') and, for raw-image batches,
@@ -85,6 +89,14 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
     log_path = os.path.join(run_cfg.out_dir, "train_log.jsonl")
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
+    if start_step > 0:
+        # resume-time data skipping: drop the batches the interrupted run
+        # already consumed so the data stream continues where it left off
+        # (reference step arithmetic: train_relufied_sd.py:976-1000)
+        import itertools
+        consumed = itertools.islice(batches, start_step)
+        for _ in consumed:
+            pass
     with mesh:
         state = jax.device_put(state, state_shard)
         for step, batch in enumerate(batches, start=start_step):
@@ -110,9 +122,45 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
             if step > 0 and step % run_cfg.checkpoint_every == 0:
                 save_checkpoint(ckpt_dir, jax.device_get(state), step,
                                 run_cfg.max_checkpoints)
+            if (validation_fn is not None and run_cfg.validation_every > 0
+                    and step > 0 and step % run_cfg.validation_every == 0):
+                val_params = (state.ema_params if state.ema_params is not None
+                              else state.params)
+                validation_fn(jax.device_get(val_params), step)
     save_checkpoint(ckpt_dir, jax.device_get(state),
                     int(state.step), run_cfg.max_checkpoints)
     return state
+
+
+def make_validation_logger(pipe, full_params: dict, tokenize: Callable,
+                           prompts, out_dir: str, num_steps: int = 4,
+                           seed: int = 0) -> Callable:
+    """validation_fn for `train_relufied`: generates `prompts` with the current
+    (EMA) UNet params and writes PNGs + a JSONL record per validation step
+    (reference: train_relufied_sd.py:1136-1151 logs validation images to
+    wandb/tensorboard each epoch)."""
+    from diffusion_models_moe_tpu.pipelines.stable_diffusion import to_pil
+
+    os.makedirs(out_dir, exist_ok=True)
+    cond = jnp.asarray(tokenize(list(prompts)))
+    uncond = jnp.asarray(tokenize([""] * len(prompts)))
+    log_path = os.path.join(out_dir, "validation_log.jsonl")
+
+    def validation_fn(unet_params, step: int):
+        params = dict(full_params, unet=unet_params)
+        imgs, _ = pipe.generate(params, cond, uncond,
+                                jax.random.PRNGKey(seed),
+                                num_steps=num_steps)
+        paths = []
+        for i, img in enumerate(to_pil(imgs)):
+            p = os.path.join(out_dir, f"val_step{step:06d}_{i}.png")
+            img.save(p)
+            paths.append(p)
+        with open(log_path, "a") as f:
+            f.write(json.dumps({"step": step, "images": paths,
+                                "prompts": list(prompts)}) + "\n")
+
+    return validation_fn
 
 
 def param_count_report(params: dict, mask=None) -> dict:

@@ -119,3 +119,24 @@ def test_noise_diff_objective_and_eps_tap():
                                num_steps=2)
     assert obj({"ratio": 0.0}) == 0.0
     assert obj({"ratio": 0.5}) > 0.0
+
+
+def test_profiling_trace_and_top_ops(tmp_path):
+    """The in-repo profiling helper produces a parseable perfetto trace and a
+    top-ops report on CPU (SURVEY.md §5.1 — the reference has none)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_models_moe_tpu.profiling import (step_time_report, top_ops,
+                                                    trace)
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((128, 128))
+    float(f(x))                                   # compile outside trace
+    with trace(str(tmp_path)):
+        np.asarray(jax.device_get(f(x)))
+    rows = top_ops(str(tmp_path))
+    assert rows and all({"name", "total_us", "count", "pct"} <= set(r)
+                        for r in rows)
+    report = step_time_report(str(tmp_path))
+    assert "total_ms" in report and len(report.splitlines()) > 1

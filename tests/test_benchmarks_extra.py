@@ -113,3 +113,55 @@ def test_text_metrics():
     assert rouge_l("the cat sat", "sat cat the") < 1.0
     s = corpus_scores(["a b c", "x y"], ["a b c", "x z"])
     assert s["n"] == 2 and 0 < s["rouge_l"] <= 1
+
+
+def test_vqa_multiple_choice_protocol():
+    """Scripted fake judge reproduces the reference LLAVAScorer scoring
+    (reference: mod_utils.py:195-290 — multiple-choice object identification +
+    numeric style question, 'answer the number only')."""
+    from diffusion_models_moe_tpu.benchmarks.vqa import (
+        MultipleChoiceScorer, concept_style_question,
+        multiple_choice_object_question, parse_choice_index)
+
+    objects = ["cat", "dog", "church"]
+    q = multiple_choice_object_question(objects)
+    assert "(1)cat (2)dog (3)church" in q and "number only" in q
+    sq = concept_style_question("Van Gogh")
+    assert "(1)photo (2)Van Gogh" in sq
+    assert "<object>" in concept_style_question("under a tree")
+    assert parse_choice_index("2", 3) == 1
+    assert parse_choice_index(" The answer is 3.", 3) == 2
+    assert parse_choice_index("7", 3) is None
+    assert parse_choice_index("maybe", 3) is None
+
+    # scripted judge: before removal answers correctly + says "in style";
+    # after removal picks option 1 ("photo") and misidentifies objects
+    def judge(image, question):
+        before = image["before"]
+        if "main object" in question:
+            return str(objects.index(image["gt"]) + 1) if before else "1"
+        return "2" if before else "1"
+
+    sc = MultipleChoiceScorer(judge, objects, "Van Gogh")
+    for i, o in enumerate(objects):
+        sc.object_score({"before": True, "gt": o}, i, before=True)
+        sc.style_score({"before": True, "gt": o}, i, label=2, before=True)
+        sc.object_score({"before": False, "gt": o}, i, before=False)
+        sc.style_score({"before": False, "gt": o}, i, label=2, before=False)
+    r = sc.get_results()
+    assert r["before_removal"]["object_score"] == 1.0
+    assert r["before_removal"]["style_score"] == 1.0
+    # after removal only 'cat' (option 1) is re-identified correctly
+    assert r["after_removal"]["object_score"] == 1.0 / 3
+    assert r["after_removal"]["style_score"] == 0.0
+    assert r["after_removal"]["style_failures"] == [
+        ("cat", 1), ("dog", 1), ("church", 1)]
+
+
+def test_vqa_unparseable_answers_counted():
+    from diffusion_models_moe_tpu.benchmarks.vqa import MultipleChoiceScorer
+    sc = MultipleChoiceScorer(lambda img, q: "no idea", ["cat"], "gender")
+    assert sc.object_score(None, 0) == 0
+    assert sc.style_score(None, 0, label=2) == 0
+    r = sc.get_results()
+    assert r["before_removal"]["unparsed"] == 2
