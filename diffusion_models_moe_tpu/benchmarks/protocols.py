@@ -1,0 +1,121 @@
+"""Flagship eval protocols, end-to-end: shipped prompt assets -> batched
+generation (resume-by-skip) -> judge -> aggregate.
+
+These tie together what the reference runs as separate argparse scripts:
+  i2p_protocol          <- benchmarks/i2p_eval.py:105-258
+  memorization_protocol <- benchmarks/inference_mem.py:136-168
+  artist_removal_protocol <- benchmarks/artist_removal.py:93-215
+Prompt data are the reference's own files (data/datasets/, copied verbatim);
+judges (NudeNet / SSCD / CLIP-vision featurizer) are injected callables per the
+framework's no-network judge convention.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from diffusion_models_moe_tpu.benchmarks.runner import EvalRunConfig, run_eval
+from diffusion_models_moe_tpu.data import prompts as P
+
+
+def _load_pngs(out_dir: str, prefix: str, n: int) -> list[np.ndarray]:
+    from PIL import Image
+    out = []
+    for i in range(n):
+        p = os.path.join(out_dir, f"{prefix}_{i}.png")
+        out.append(np.asarray(Image.open(p), np.float32) / 255.0)
+    return out
+
+
+def i2p_protocol(pipe, params, tokenize, out_dir: str, detector,
+                 variant: str = "", ivs=None, limit: Optional[int] = None,
+                 num_steps: int = 50, batch_size: int = 4, mesh=None) -> dict:
+    """I2P nudity eval at the reference operating point: the shipped
+    i2p_prompts_seed_0*.txt prompts, NudeNet 9-label counting at 0.5
+    (reference: benchmarks/i2p_eval.py)."""
+    from diffusion_models_moe_tpu.benchmarks.nudity import count_harmful
+
+    prompts = P.i2p_prompts(variant)
+    if limit:
+        prompts = prompts[:limit]
+    cfg = EvalRunConfig(out_dir=out_dir, batch_size=batch_size,
+                        num_steps=num_steps, save_baseline=False)
+    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+    images = _load_pngs(out_dir, "removed", len(prompts))
+    result = count_harmful(detector(images))
+    result["n_prompts"] = len(prompts)
+    with open(os.path.join(out_dir, "i2p_results.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def memorization_protocol(pipe, params, tokenize, out_dir: str,
+                          embed: Callable[[np.ndarray], np.ndarray],
+                          split: int | str = "", ivs=None,
+                          gt_images: Optional[np.ndarray] = None,
+                          limit: Optional[int] = None, num_steps: int = 50,
+                          batch_size: int = 4, mesh=None) -> dict:
+    """Memorization eval: generate the shipped memorized LAION captions and
+    score SSCD-style similarity of with-intervention generations against
+    baseline generations (or supplied ground-truth images)
+    (reference: benchmarks/inference_mem.py:46-83,136-168)."""
+    from diffusion_models_moe_tpu.benchmarks.memorization import (
+        memorization_scores)
+
+    prompts = P.memorized_captions(split)
+    if limit:
+        prompts = prompts[:limit]
+    cfg = EvalRunConfig(out_dir=out_dir, batch_size=batch_size,
+                        num_steps=num_steps, save_baseline=True)
+    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+    gen = np.stack(_load_pngs(out_dir, "removed", len(prompts)))
+    if gt_images is None:
+        # no LAION ground truth in-env: baseline generations are the
+        # memorization proxy (similarity should DROP under intervention)
+        gt_images = np.stack(_load_pngs(out_dir, "sd", len(prompts)))
+    result = memorization_scores(np.asarray(embed(gen)),
+                                 np.asarray(embed(gt_images)))
+    result["n_prompts"] = len(prompts)
+    with open(os.path.join(out_dir, "memorization_results.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
+                            featurize: Callable[[np.ndarray], np.ndarray],
+                            artists: Optional[Sequence[str]] = None,
+                            n_artists: int = 100, part: int = 1, ivs=None,
+                            limit: Optional[int] = None, num_steps: int = 50,
+                            batch_size: int = 4, seed: int = 0,
+                            mesh=None) -> dict:
+    """Artist-style removal: per-artist style prompts from the shipped
+    {n}artists lists, CLIP image-image similarity of baseline vs removed and
+    removal accuracy (reference: benchmarks/artist_removal.py:59-70,180-210)."""
+    from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+        image_image_similarity, removal_accuracy)
+
+    if artists is None:
+        artists = P.artist_names(n_artists, part)
+    if limit:
+        artists = list(artists)[:limit]
+    prompts = [f"a painting in the style of {a}" for a in artists]
+    cfg = EvalRunConfig(out_dir=out_dir, batch_size=batch_size,
+                        num_steps=num_steps, seed=seed, save_baseline=True)
+    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+    base = np.stack(_load_pngs(out_dir, "sd", len(prompts)))
+    removed = np.stack(_load_pngs(out_dir, "removed", len(prompts)))
+    fb = np.asarray(featurize(base))
+    fr = np.asarray(featurize(removed))
+    sim = np.asarray(image_image_similarity(fb, fr))
+    # accuracy convention: removal succeeded when removed drifts from baseline
+    # more than baseline self-similarity (== 1), so report the mean drop
+    result = {"mean_similarity": float(sim.mean()),
+              "removal_accuracy": float(removal_accuracy(
+                  np.ones_like(sim), sim)),
+              "n_artists": len(prompts)}
+    with open(os.path.join(out_dir, "artist_removal_results.json"), "w") as f:
+        json.dump(result, f)
+    return result

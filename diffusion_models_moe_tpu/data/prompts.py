@@ -84,6 +84,31 @@ def _file_or(name: str, fallback: Sequence[str]) -> list[str]:
     return list(load_dataset_file(name)) if has_dataset(name) else list(fallback)
 
 
+def combine_prompt_datasets(artwork_csv: str, i2p_file: str,
+                            out_csv: str) -> int:
+    """Merge an artwork-prompts CSV (case_number, prompt, evaluation_seed,
+    artist) with an I2P prompt list into one eval CSV, renaming artist ->
+    concept and tagging I2P rows concept='naked'
+    (reference: benchmarks/create_datasets.py). Returns the row count."""
+    import csv
+    with open(artwork_csv, newline="") as f:
+        rows = list(csv.DictReader(f))
+    for r in rows:
+        r["concept"] = r.pop("artist", r.get("concept", ""))
+    start = len(rows)
+    with open(i2p_file) as f:
+        i2p = [line.strip() for line in f if line.strip()]
+    for i, prompt in enumerate(i2p):
+        rows.append({"case_number": str(start + i), "prompt": prompt,
+                     "evaluation_seed": "0", "concept": "naked"})
+    fields = ["case_number", "prompt", "evaluation_seed", "concept"]
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+        w.writeheader()
+        w.writerows(rows)
+    return len(rows)
+
+
 # ---- built-in subject lists (framework data; override with files as needed) ----
 THINGS = [
     "cat", "dog", "horse", "bird", "house", "tree", "car", "bicycle", "boat",

@@ -46,7 +46,8 @@ except ImportError:  # pragma: no cover
 
 
 class CLIPTokenizer:
-    def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77):
+    def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77,
+                 use_native: bool = True):
         with open(vocab_path, encoding="utf-8") as f:
             self.encoder: dict[str, int] = json.load(f)
         with open(merges_path, encoding="utf-8") as f:
@@ -61,6 +62,15 @@ class CLIPTokenizer:
         self.eos = self.encoder.get("<|endoftext|>")
         self.pad = self.eos
         self._cache: dict[str, str] = {}
+        # native merge core (native/bpe_core.cpp): ~100x faster merge loops for
+        # eval-scale tokenization (COCO-30k); falls back to Python silently
+        self._native = None
+        if use_native:
+            try:
+                from diffusion_models_moe_tpu.data._native_bpe import NativeBPE
+                self._native = NativeBPE(self.encoder, merges)
+            except Exception:
+                self._native = None
 
     @classmethod
     def from_dir(cls, path: str, max_length: int = 77) -> "CLIPTokenizer":
@@ -97,8 +107,11 @@ class CLIPTokenizer:
         ids: list[int] = []
         for tok in _PAT.findall(text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            ids.extend(self.encoder[t] for t in self._bpe(tok).split(" ")
-                       if t in self.encoder)
+            if self._native is not None:
+                ids.extend(self._native.encode_word(tok))
+            else:
+                ids.extend(self.encoder[t] for t in self._bpe(tok).split(" ")
+                           if t in self.encoder)
         return ids
 
     def __call__(self, texts: Sequence[str] | str) -> np.ndarray:

@@ -46,19 +46,12 @@ class Attention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim)
 
-        from diffusion_models_moe_tpu.ops.flash import (flash_cross_attention,
-                                                        flash_self_attention,
-                                                        use_flash)
-        if use_flash(x.shape[1], context.shape[1], self.flash):
-            if is_self:
-                out = flash_self_attention(split(q), split(k), split(v),
-                                           sm_scale=1.0 / (head_dim ** 0.5))
-            else:
-                out = flash_cross_attention(split(q), split(k), split(v),
-                                            sm_scale=1.0 / (head_dim ** 0.5),
-                                            kv_valid=context.shape[1])
-        else:
-            out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        from diffusion_models_moe_tpu.ops.flash import attention_dispatch
+        out = attention_dispatch(split(q), split(k), split(v),
+                                 is_self=is_self,
+                                 sm_scale=1.0 / (head_dim ** 0.5),
+                                 kv_valid=context.shape[1],
+                                 enabled=self.flash)
         out = out.reshape(x.shape[0], x.shape[1], self.query_dim)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 

@@ -94,6 +94,34 @@ def flash_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.transpose(0, 2, 1, 3)[..., :d]
 
 
+def attention_dispatch(q, k, v, *, is_self: bool, sm_scale: float,
+                       kv_valid: int, enabled: bool):
+    """Pick the attention implementation for (B, S, H, D) tensors.
+
+    DMOE_FLASH_IMPL picks the implementation mix (ops/sd_flash.py kernels have
+    native small head dims / fused small-kv cross-attention):
+      jax          stock flash for long self-attention, XLA SDPA elsewhere
+                   (default; measured 0.888 img/s on the headline bench)
+      custom       SD kernels for both self and cross (measured 0.644 — the
+                   hand-rolled self-attention loses to the stock kernel)
+      custom-cross stock flash self + fused custom cross
+      custom-self  custom self + XLA cross"""
+    impl = os.environ.get("DMOE_FLASH_IMPL", "jax")
+    s_q, s_kv = q.shape[1], k.shape[1]
+    long_q = enabled and s_q >= 256 and s_q % 128 == 0 \
+        and jax.default_backend() == "tpu"
+    if long_q:
+        from diffusion_models_moe_tpu.ops.sd_flash import (sd_cross_attention,
+                                                           sd_self_attention)
+        if is_self and s_q == s_kv:
+            if impl in ("custom", "custom-self"):
+                return sd_self_attention(q, k, v, sm_scale)
+            return flash_self_attention(q, k, v, sm_scale)
+        if not is_self and impl in ("custom", "custom-cross"):
+            return sd_cross_attention(q, k, v, sm_scale, kv_valid)
+    return jax.nn.dot_product_attention(q, k, v)
+
+
 def use_flash(q_seq: int, kv_seq: int, enabled: bool) -> bool:
     """Flash for long self-attention only. Cross-attention (kv = 77 text tokens)
     measured FASTER on XLA (bench 0.897 vs 0.859 img/s with

@@ -97,10 +97,14 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
         consumed = itertools.islice(batches, start_step)
         for _ in consumed:
             pass
+    batches = iter(batches)
     with mesh:
         state = jax.device_put(state, state_shard)
-        for step, batch in enumerate(batches, start=start_step):
-            if step >= run_cfg.max_steps:
+        for step in range(start_step, run_cfg.max_steps):
+            # pull-on-demand (a for-over-enumerate would consume one batch
+            # past max_steps, breaking exact resume arithmetic)
+            batch = next(batches, None)
+            if batch is None:
                 break
             key, k_enc, k_step = jax.random.split(key, 3)
             if "latents" not in batch:

@@ -215,3 +215,69 @@ def test_tokenizer_unicode_word_pattern(tmp_path):
     assert pieces("Café ÜBER ño") == [word("café"), word("über"), word("ño")]
     # digits split singly ([\p{N}]), never as a multi-digit word
     assert pieces("42") == [word("4"), word("2")]
+
+
+def test_combine_prompt_datasets(tmp_path):
+    """artwork CSV + i2p list -> combined eval CSV with concept column
+    (reference: benchmarks/create_datasets.py)."""
+    from diffusion_models_moe_tpu.data.prompts import combine_prompt_datasets
+    art = tmp_path / "artwork.csv"
+    art.write_text("case_number,prompt,evaluation_seed,artist\n"
+                   "0,a painting,42,Van Gogh\n1,a sketch,7,Monet\n")
+    i2p = tmp_path / "i2p.txt"
+    i2p.write_text("bad prompt one\nbad prompt two\n")
+    out = tmp_path / "combined.csv"
+    n = combine_prompt_datasets(str(art), str(i2p), str(out))
+    assert n == 4
+    import csv
+    rows = list(csv.DictReader(open(out)))
+    assert rows[0]["concept"] == "Van Gogh"
+    assert rows[2]["concept"] == "naked" and rows[2]["case_number"] == "2"
+    assert rows[3]["prompt"] == "bad prompt two"
+
+
+def test_native_bpe_matches_python(toy_tokenizer, tmp_path):
+    """Native merge core (native/bpe_core.cpp) must tokenize identically to the
+    pure-Python BPE, including unicode words and caching."""
+    import shutil
+    from diffusion_models_moe_tpu.data.tokenizer import CLIPTokenizer
+
+    src = toy_tokenizer
+    # rebuild the same vocab dir with and without the native core
+    (tmp_path / "vocab.json").write_text(
+        json.dumps(src.encoder, ensure_ascii=False), encoding="utf-8")
+    merges = sorted(src.bpe_ranks, key=src.bpe_ranks.get)
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges),
+        encoding="utf-8")
+    tok_py = CLIPTokenizer.from_dir(str(tmp_path), max_length=12)
+    tok_py._native = None
+    tok_nat = CLIPTokenizer.from_dir(str(tmp_path), max_length=12)
+    if tok_nat._native is None:
+        pytest.skip("native BPE unavailable (no g++)")
+    texts = ["a photo of a cat", "a dog", "a cat a cat a cat",
+             "unknownword photo", "  A   PHOTO of a DOG  "]
+    np.testing.assert_array_equal(tok_py(texts), tok_nat(texts))
+
+
+def test_native_bpe_unicode_word():
+    from diffusion_models_moe_tpu.data._native_bpe import NativeBPE
+    from diffusion_models_moe_tpu.data.tokenizer import _bytes_to_unicode
+    b2u = _bytes_to_unicode()
+
+    def bu(w):
+        return "".join(b2u[b] for b in w.encode())
+
+    chars = [b2u[b] for b in "café".encode()]
+    chars[-1] += "</w>"
+    vocab = {c: i for i, c in enumerate(chars)}
+    # one merge: fuse the two bytes of 'é' (+ </w>)
+    merges = [(chars[-2], chars[-1])] if len(chars) >= 2 else []
+    vocab[chars[-2] + chars[-1]] = len(vocab)
+    try:
+        nat = NativeBPE(vocab, merges)
+    except Exception:
+        pytest.skip("native BPE unavailable")
+    ids = nat.encode_word(bu("café"))
+    assert ids, "unicode word must tokenize"
+    assert ids[-1] == vocab[chars[-2] + chars[-1]]

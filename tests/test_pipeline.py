@@ -104,3 +104,4 @@ def test_pndm_t_plus_one_firings(pipe_and_params):
                             num_steps=4, tap=TapSpec(max_gate=True),
                             decode=False)
     assert np.asarray(taps["max_gate"][0]).shape[0] == 5
+
