@@ -15,11 +15,13 @@ keep the word "estimated" attached.
 Resilience (round-1 postmortem, BENCH_r01.json rc=1 kernel fault):
  - a trivial-jit probe runs before any heavy compile, so a wedged TPU service
    fails fast with evidence on stderr;
- - flash block sizes default to the verified-green 512/512
-   (DMOE_FLASH_BLOCKS=bq,bk to override — see ops/flash.py);
- - if the flash path faults, the bench re-execs itself in a FRESH process with
-   flash attention disabled (a crashed TPU worker can leave the in-process
-   backend unusable) and the JSON line carries "degraded": true;
+ - the primary attempt uses flash blocks 1024/1024 (measured 0.916 vs 0.888
+   img/s at 512/512 on v5e; the round-1 crash at 1024 was a wedged service,
+   since re-verified green) — DMOE_FLASH_BLOCKS=bq,bk overrides;
+ - on failure the bench re-execs itself in FRESH processes down a fallback
+   chain (a crashed TPU worker can poison the in-process backend):
+   1024/1024 -> 512/512 -> flash off; only the flash-off leg is flagged
+   "degraded": true ("fallback" records the leg either way);
  - a JSON line is always emitted, even on total failure (value 0.0 + "error").
 
 Env knobs: DMOE_FLASH=0 (disable flash), DMOE_FUSED=0 (XLA routing instead of the
@@ -69,7 +71,9 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
 
     import dataclasses
     degraded = os.environ.get("DMOE_BENCH_FALLBACK", "0") == "1"
+    fallback_leg = os.environ.get("DMOE_BENCH_LEG", "")
     flash = os.environ.get("DMOE_FLASH", "1") == "1"
+    os.environ.setdefault("DMOE_FLASH_BLOCKS", "1024,1024")
     cfg = sd15_config(dtype=jnp.bfloat16)
     unet = dataclasses.replace(cfg.unet, flash_attention=flash)
     if os.environ.get("DMOE_FUSED", "1") == "0":
@@ -127,24 +131,36 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
     }
     if degraded:
         out["degraded"] = True
+    if fallback_leg:
+        out["fallback"] = fallback_leg
     if mesh is not None:
         out["metric"] = out["metric"].replace("/chip", f"/{n_dev}chips(dp)")
     print(json.dumps(out), flush=True)
 
 
+# Fallback chain: each leg runs in a FRESH process (a crashed TPU worker can
+# poison the in-process runtime). Only the flash-off leg is "degraded".
+_FALLBACK_CHAIN = [
+    ("flash_blocks_512", {"DMOE_FLASH_BLOCKS": "512,512"}),
+    ("flash_off", {"DMOE_FLASH": "0", "DMOE_BENCH_FALLBACK": "1"}),
+]
+
+
 def _fallback(argv: list[str], err: Exception) -> int:
-    """Re-run in a fresh process with flash attention off. A TPU worker crash
-    can poison the in-process runtime, so in-process retry is not enough."""
     _log(f"# primary bench failed: {type(err).__name__}: {str(err)[:300]}")
-    _log("# retrying in fresh process with DMOE_FLASH=0")
-    env = dict(os.environ, DMOE_FLASH="0", DMOE_BENCH_FALLBACK="1")
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__), *argv],
-                           env=env, timeout=3000)
-        return r.returncode
-    except Exception as e2:  # timeout or spawn failure
-        _log(f"# fallback failed: {type(e2).__name__}: {str(e2)[:300]}")
-        return 1
+    for leg, extra in _FALLBACK_CHAIN:
+        _log(f"# retrying in fresh process: {leg}")
+        env = dict(os.environ, DMOE_BENCH_LEG=leg, **extra)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *argv],
+                env=env, timeout=3000)
+            if r.returncode == 0:
+                return 0
+        except Exception as e2:  # timeout or spawn failure
+            _log(f"# fallback {leg} failed: {type(e2).__name__}: "
+                 f"{str(e2)[:300]}")
+    return 1
 
 
 if __name__ == "__main__":
@@ -157,7 +173,8 @@ if __name__ == "__main__":
         main(**kwargs)
     except Exception as e:
         rc = 1
-        if os.environ.get("DMOE_BENCH_FALLBACK", "0") != "1":
+        if os.environ.get("DMOE_BENCH_LEG", "") == "" \
+                and os.environ.get("DMOE_BENCH_FALLBACK", "0") != "1":
             rc = _fallback(sys.argv[1:], e)
         if rc != 0:
             print(json.dumps({
