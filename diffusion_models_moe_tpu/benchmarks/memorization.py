@@ -36,14 +36,21 @@ def load_sscd(path: str) -> Embedder:
     return embed
 
 
+def _l2n(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
 def similarity_matrix(emb_a: np.ndarray, emb_b: np.ndarray) -> np.ndarray:
-    return np.asarray(emb_a) @ np.asarray(emb_b).T
+    """Cosine similarity matrix (embeddings normalized defensively — SSCD
+    outputs are unit-norm but injected featurizers may not be)."""
+    return _l2n(emb_a) @ _l2n(emb_b).T
 
 
 def memorization_scores(gen_embs: np.ndarray, gt_embs: np.ndarray) -> dict:
     """Pairwise generation-vs-ground-truth similarity stats
     (reference: benchmarks/inference_mem.py:46-68 measure_SSCD_similarity)."""
-    sims = np.sum(np.asarray(gen_embs) * np.asarray(gt_embs), axis=-1)
+    sims = np.sum(_l2n(gen_embs) * _l2n(gt_embs), axis=-1)
     return {
         "mean_similarity": float(sims.mean()),
         "max_similarity": float(sims.max()),

@@ -107,8 +107,13 @@ def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
     run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
     base = np.stack(_load_pngs(out_dir, "sd", len(prompts)))
     removed = np.stack(_load_pngs(out_dir, "removed", len(prompts)))
-    fb = np.asarray(featurize(base))
-    fr = np.asarray(featurize(removed))
+
+    def l2n(x):
+        x = np.asarray(x, np.float64)
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                              1e-12)
+
+    fb, fr = l2n(featurize(base)), l2n(featurize(removed))
     sim = np.asarray(image_image_similarity(fb, fr))
     # accuracy convention: removal succeeded when removed drifts from baseline
     # more than baseline self-similarity (== 1), so report the mean drop

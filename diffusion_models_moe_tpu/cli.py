@@ -265,6 +265,67 @@ def cmd_score_dirs(args):
     print(json.dumps({"fid": fid, "perceptual": perc}))
 
 
+def cmd_protocol(args):
+    """Flagship protocols end-to-end on the shipped dataset assets
+    (benchmarks/protocols.py; reference: i2p_eval / inference_mem /
+    artist_removal CLIs)."""
+    import jax
+    from diffusion_models_moe_tpu.benchmarks import protocols as proto
+
+    pipe, params, tokenize = _load_pipe(args)
+    ivs = None
+    if args.masks:
+        from diffusion_models_moe_tpu.erasure.masks import (
+            load_masks, wanda_removal_interventions)
+        ivs = wanda_removal_interventions(load_masks(args.masks))
+    mesh = None
+    if args.dp and len(jax.devices()) > 1:
+        from diffusion_models_moe_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(dp=len(jax.devices()), tp=1)
+    common = dict(ivs=ivs, limit=args.limit or None,
+                  num_steps=args.steps or 50, batch_size=args.batch,
+                  mesh=mesh)
+
+    def clip_featurize():
+        from diffusion_models_moe_tpu.benchmarks.fid import (
+            make_clip_featurizer)
+        from diffusion_models_moe_tpu.models.clip_vision import (
+            CLIPVisionConfig, CLIPVisionEncoder, tiny_vision_config)
+        if args.clip_snapshot:
+            from diffusion_models_moe_tpu.weights.port_vision import (
+                port_clip_vision)
+            cfg = CLIPVisionConfig()
+            enc = CLIPVisionEncoder(cfg)
+            return make_clip_featurizer(enc, port_clip_vision(
+                args.clip_snapshot, cfg))
+        cfg = tiny_vision_config()
+        enc = CLIPVisionEncoder(cfg)
+        vp = enc.init(jax.random.PRNGKey(0), jax.numpy.zeros(
+            (1, cfg.image_size, cfg.image_size, 3)))["params"]
+        return make_clip_featurizer(enc, vp)
+
+    if args.name == "i2p":
+        from diffusion_models_moe_tpu.benchmarks.nudity import load_nudenet
+        detector = load_nudenet(args.judge) if args.judge != "none" else None
+        if detector is None:
+            raise SystemExit("i2p needs a NudeNet judge (--judge PATH)")
+        out = proto.i2p_protocol(pipe, params, tokenize, args.out_dir,
+                                 detector, variant=args.variant, **common)
+    elif args.name == "memorize":
+        feat = clip_featurize()
+        out = proto.memorization_protocol(
+            pipe, params, tokenize, args.out_dir, feat,
+            split=args.split if args.split != "" else "", **common)
+    elif args.name == "artists":
+        out = proto.artist_removal_protocol(
+            pipe, params, tokenize, args.out_dir, clip_featurize(),
+            n_artists=args.n_artists, part=args.part, seed=args.seed,
+            **common)
+    else:
+        raise SystemExit(f"unknown protocol {args.name}")
+    print(json.dumps(out))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="diffusion_models_moe_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -345,6 +406,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--b-dir", required=True)
     sp.add_argument("--clip-snapshot", default=None)
     sp.set_defaults(fn=cmd_score_dirs)
+
+    sp = sub.add_parser("protocol"); common(sp, concept=True)
+    sp.add_argument("name", choices=["i2p", "memorize", "artists"])
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--masks", default=None,
+                    help="wanda mask npz to apply as the intervention")
+    sp.add_argument("--batch", type=int, default=4)
+    sp.add_argument("--dp", action="store_true",
+                    help="shard batches over all local devices")
+    sp.add_argument("--variant", default="", help="i2p prompt-file variant")
+    sp.add_argument("--split", default="", help="memorize split (0-19)")
+    sp.add_argument("--n-artists", type=int, default=100)
+    sp.add_argument("--part", type=int, default=1)
+    sp.add_argument("--judge", default="none",
+                    help="NudeNet model path for i2p")
+    sp.add_argument("--clip-snapshot", default=None)
+    sp.set_defaults(fn=cmd_protocol)
     return p
 
 
