@@ -106,12 +106,19 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
         mesh = create_mesh(n_dev, dp=n_dev, tp=1)
         _log(f"# dp mesh over {n_dev} devices")
 
+    # Execution must be forced by a host fetch (through remote-device tunnels
+    # block_until_ready can return before execution finishes), but fetching
+    # the full (B, 512, 512, 3) f32 images (~100MB) measures TUNNEL bandwidth
+    # (~25MB/s), not TPU throughput — profiled at 29% of wall time. A scalar
+    # checksum depends on every pixel, so fetching it forces the whole
+    # computation while shipping 4 bytes. (On a real TPU host the image copy
+    # is PCIe, ~10ms — negligible either way.)
+    checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
     def run(key):
         img, _ = pipe.generate(params, cond, uncond, key, num_steps=steps,
                                ivs=ivs, mesh=mesh)
-        # force a real host fetch: through remote-device tunnels
-        # block_until_ready can return before execution finishes
-        return np.asarray(jax.device_get(img))
+        return float(np.asarray(jax.device_get(checksum(img))))
 
     # warmup/compile
     t_c = time.perf_counter()

@@ -126,6 +126,16 @@ class CLIPTokenizer:
         return out
 
 
+def load_sdxl_tokenizers(snapshot_root: str, max_length: int = 77):
+    """SDXL snapshots ship two CLIP BPE tokenizers (tokenizer/, tokenizer_2/);
+    returns (tokenize_l, tokenize_bigG) for SDXLPipeline.generate's dual-ids
+    inputs."""
+    return (load_tokenizer(os.path.join(snapshot_root, "tokenizer"),
+                           max_length),
+            load_tokenizer(os.path.join(snapshot_root, "tokenizer_2"),
+                           max_length))
+
+
 def load_tokenizer(path: str, max_length: int = 77):
     """Prefer the self-contained BPE; fall back to transformers if the files are
     in a full snapshot layout it understands."""

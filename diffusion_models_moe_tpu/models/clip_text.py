@@ -32,7 +32,10 @@ class CLIPMLP(nn.Module):
     def __call__(self, x, *, tap: Optional[TapSpec] = None, iv=None):
         cfg = self.cfg
         h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="fc1")(x)
-        h = quick_gelu(h) if cfg.hidden_act == "quick_gelu" else jax.nn.gelu(h)
+        # "gelu" must be the EXACT erf form (HF ACT2FN["gelu"]); jax's default
+        # tanh approximation drifts SD2.x/SDXL-bigG towers by ~3%
+        h = (quick_gelu(h) if cfg.hidden_act == "quick_gelu"
+             else jax.nn.gelu(h, approximate=False))
         if tap is not None and tap.ff_out_colnorm_sq:
             h2 = h.reshape(-1, h.shape[-1]).astype(jnp.float32)
             h2 = h2 / jnp.maximum(jnp.linalg.norm(h2, axis=-1, keepdims=True), 1e-12)

@@ -267,11 +267,19 @@ class StableDiffusionPipeline:
         return jax.jit(run)
 
 
+@jax.jit
+def _to_uint8(images: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.round(images * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def to_pil(images: jax.Array):
-    """(B, H, W, 3) floats in [0,1] -> list of PIL images (host-side)."""
+    """(B, H, W, 3) floats in [0,1] -> list of PIL images.
+
+    The uint8 conversion happens ON DEVICE so the host copy is 4x smaller —
+    through this environment's remote tunnel (~25MB/s) that is the difference
+    between ~1s and ~4s per eval batch."""
     from PIL import Image
-    arr = np.asarray(jax.device_get(images))
-    arr = (arr * 255).round().astype(np.uint8)
+    arr = np.asarray(jax.device_get(_to_uint8(jnp.asarray(images))))
     return [Image.fromarray(a) for a in arr]
 
 

@@ -249,3 +249,24 @@ def port_pipeline(snapshot_root: str, config) -> dict:
             os.path.join(snapshot_root, "text_encoder"), config.text_encoder),
         "vae": port_vae_decoder(os.path.join(snapshot_root, "vae"), config.vae),
     }
+
+
+def port_sdxl_pipeline(snapshot_root: str, config,
+                       text_configs: tuple) -> dict:
+    """Port an SDXL snapshot for pipelines/sdxl.py:SDXLPipeline: dual text
+    towers ({root}/text_encoder, {root}/text_encoder_2 — the second is a
+    CLIPTextModelWithProjection whose text_projection feeds the pooled added
+    conditioning), depth-stacked UNet, VAE."""
+    tc1, tc2 = text_configs
+    te2_dir = os.path.join(snapshot_root, "text_encoder_2")
+    sd2 = _load_safetensors(os.path.join(te2_dir, "model.safetensors"))
+    proj = sd2["text_projection.weight"]          # (proj_dim, hidden) torch
+    return {
+        "unet": port_unet(os.path.join(snapshot_root, "unet"), config.unet),
+        "text_encoder": port_clip_text(
+            os.path.join(snapshot_root, "text_encoder"), tc1),
+        "text_encoder_2": port_clip_text(te2_dir, tc2),
+        "text_projection_2": np.ascontiguousarray(proj.T),
+        "vae": port_vae_decoder(os.path.join(snapshot_root, "vae"),
+                                config.vae),
+    }

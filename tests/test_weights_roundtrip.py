@@ -132,3 +132,46 @@ def test_sd15_unet_key_census():
     assert len(expected) == 686
     got = set(sd.keys())
     assert got == expected, (sorted(expected - got)[:5], sorted(got - expected)[:5])
+
+
+def test_sdxl_text_projection_matches_transformers(tmp_path):
+    """SDXL's second tower (CLIPTextModelWithProjection): ported params +
+    transposed text_projection reproduce HF's text_embeds exactly — the pooled
+    added-conditioning path of pipelines/sdxl.py."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+    from transformers import CLIPTextConfig as HFCLIPConfig
+    from transformers import CLIPTextModelWithProjection
+
+    from diffusion_models_moe_tpu.config import CLIPTextConfig
+    from diffusion_models_moe_tpu.models.clip_text import CLIPTextEncoder
+    from diffusion_models_moe_tpu.weights.port import (_load_safetensors,
+                                                       port_clip_text)
+
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                         num_layers=2, num_heads=4, max_length=16,
+                         hidden_act="gelu")
+    hf_cfg = HFCLIPConfig(vocab_size=100, hidden_size=32,
+                          intermediate_size=64, num_hidden_layers=2,
+                          num_attention_heads=4, max_position_embeddings=16,
+                          hidden_act="gelu", projection_dim=32,
+                          eos_token_id=99)
+    torch.manual_seed(0)
+    model = CLIPTextModelWithProjection(hf_cfg).eval()
+    path = tmp_path / "model.safetensors"
+    save_file({k: v.detach().numpy() for k, v in model.state_dict().items()},
+              str(path))
+    params = port_clip_text(str(tmp_path), cfg)
+    sd = _load_safetensors(str(path))
+    proj = np.ascontiguousarray(sd["text_projection.weight"].T)
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 99, (2, 16))
+    ids[:, 10] = 99                       # unique max == EOS position
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(ids)).text_embeds.numpy()
+    hidden = CLIPTextEncoder(cfg).apply({"params": params}, jnp.asarray(ids))
+    eot = np.argmax(ids, axis=-1)
+    pooled = np.asarray(hidden)[np.arange(2), eot] @ proj
+    np.testing.assert_allclose(pooled, ref, atol=2e-5, rtol=1e-4)
