@@ -1,0 +1,94 @@
+"""External-baseline registry: run any protocol over comparison models.
+
+The reference evaluates erasure against published baselines — UCE, ESD,
+Concept-Ablation, Forget-Me-Not, Selective-Amnesia, SLD, SD2/2.1 — by loading
+their edited checkpoints or alternative pipelines (reference:
+benchmarks/eval_coco.py:70-101, i2p_eval.py:134-194, eval_baselines.py). Most
+of those ship as diffusers-layout SD1.x checkpoints with an edited UNet, so
+here a baseline is (config preset, snapshot layout, optional pipeline wrapper);
+`load_baseline` returns a ready (pipe, params, generate_kwargs) triple that
+any benchmarks/protocols.py driver accepts.
+
+No baseline weights exist in this environment (no network) — the registry is
+the code path; point `snapshot` at a local copy of the baseline's checkpoint.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BaselineSpec:
+    """How to instantiate a comparison model.
+
+    kind:
+      sd15-edited  diffusers SD1.x layout with an edited/fine-tuned UNet
+                   (UCE, ESD, Concept-Ablation, Forget-Me-Not,
+                   Selective-Amnesia all publish in this form)
+      sd15-sld     stock SD1.4 + Safe Latent Diffusion guidance at generate
+      sd2x         SD2/SD2.1 geometry (v-prediction for the 768 variant)
+    """
+    kind: str
+    description: str
+    v_prediction: bool = False
+
+
+BASELINES: dict[str, BaselineSpec] = {
+    "uce": BaselineSpec("sd15-edited", "Unified Concept Editing checkpoint"),
+    "esd": BaselineSpec("sd15-edited", "Erased Stable Diffusion checkpoint"),
+    "concept-ablation": BaselineSpec("sd15-edited",
+                                     "Concept Ablation checkpoint"),
+    "forget-me-not": BaselineSpec("sd15-edited", "Forget-Me-Not checkpoint"),
+    "selective-amnesia": BaselineSpec("sd15-edited",
+                                      "Selective Amnesia checkpoint"),
+    "sld": BaselineSpec("sd15-sld", "SD1.4 + Safe Latent Diffusion guidance"),
+    "sd2": BaselineSpec("sd2x", "Stable Diffusion 2 base (512, epsilon)"),
+    "sd2.1": BaselineSpec("sd2x", "Stable Diffusion 2.1 (768, v-pred)",
+                          v_prediction=True),
+    # this framework's own product path: a union-timesteps baked checkpoint
+    "union-timesteps": BaselineSpec(
+        "sd15-edited", "wanda union-over-timesteps baked checkpoint "
+                       "(erasure/masks.py:bake_wanda_masks output)"),
+}
+
+
+def load_baseline(name: str, snapshot: str, dtype=jnp.bfloat16):
+    """-> (pipe, params, generate_kwargs). `snapshot` is a local
+    diffusers-layout directory for the baseline's checkpoint."""
+    from diffusion_models_moe_tpu import (StableDiffusionPipeline,
+                                          sd15_config, sd21_config)
+    from diffusion_models_moe_tpu.weights.port import port_pipeline
+
+    spec = BASELINES[name]
+    if spec.kind == "sd2x":
+        cfg = sd21_config(dtype=dtype, v_prediction=spec.v_prediction)
+        pipe = StableDiffusionPipeline(cfg)
+        return pipe, port_pipeline(snapshot, cfg), {}
+    cfg = sd15_config(dtype=dtype)
+    pipe = StableDiffusionPipeline(cfg)
+    params = port_pipeline(snapshot, cfg)
+    if spec.kind == "sd15-sld":
+        # protocol drivers call sld_generate instead of pipe.generate
+        return pipe, params, {"use_sld": True}
+    return pipe, params, {}
+
+
+def baseline_generate(pipe, params, cond_ids, uncond_ids, key,
+                      generate_kwargs: dict, safety_ids=None, **kw):
+    """Uniform generate over stock and SLD baselines (the reference's
+    eval_baselines dispatch, i2p_eval.py:134-194). SLD baselines need
+    `safety_ids` — the tokenized SLD safety concept
+    (pipelines/sld.py:SAFETY_CONCEPT)."""
+    if generate_kwargs.get("use_sld"):
+        from diffusion_models_moe_tpu.pipelines.sld import sld_generate
+        if safety_ids is None:
+            raise ValueError("SLD baseline needs safety_ids "
+                             "(tokenize(pipelines.sld.SAFETY_CONCEPT))")
+        out = sld_generate(pipe, params, cond_ids, uncond_ids, safety_ids,
+                           key, **kw)
+        # normalize to pipe.generate's (images, taps) shape
+        return out if isinstance(out, tuple) else (out, None)
+    return pipe.generate(params, cond_ids, uncond_ids, key, **kw)

@@ -165,3 +165,40 @@ def test_vqa_unparseable_answers_counted():
     assert sc.style_score(None, 0, label=2) == 0
     r = sc.get_results()
     assert r["before_removal"]["unparsed"] == 2
+
+
+def test_baseline_registry_and_dispatch():
+    """Baseline registry covers the reference's comparison set; SLD dispatch
+    requires safety ids; generate dispatch runs on the tiny model
+    (reference: eval_coco.py:70-101, i2p_eval.py:134-194)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+    from diffusion_models_moe_tpu.benchmarks.baselines import (
+        BASELINES, baseline_generate)
+
+    for name in ("uce", "esd", "concept-ablation", "forget-me-not",
+                 "selective-amnesia", "sld", "sd2", "sd2.1",
+                 "union-timesteps"):
+        assert name in BASELINES
+    assert BASELINES["sd2.1"].v_prediction
+
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = pipe.config.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1), (1, tc.max_length), 0,
+                              tc.vocab_size)
+    uncond = jnp.zeros_like(cond)
+    img, _ = baseline_generate(pipe, params, cond, uncond,
+                               jax.random.PRNGKey(2), {}, num_steps=2,
+                               decode=False)
+    assert np.all(np.isfinite(np.asarray(img)))
+    with pytest.raises(ValueError):
+        baseline_generate(pipe, params, cond, uncond, jax.random.PRNGKey(2),
+                          {"use_sld": True}, num_steps=2)
+    img2, _ = baseline_generate(pipe, params, cond, uncond,
+                                jax.random.PRNGKey(2), {"use_sld": True},
+                                safety_ids=cond, num_steps=2, decode=False)
+    assert np.all(np.isfinite(np.asarray(img2)))

@@ -281,3 +281,19 @@ def test_native_bpe_unicode_word():
     ids = nat.encode_word(bu("café"))
     assert ids, "unicode word must tokenize"
     assert ids[-1] == vocab[chars[-2] + chars[-1]]
+
+
+def test_load_sdxl_tokenizers(tmp_path, toy_tokenizer):
+    """SDXL snapshots carry tokenizer/ + tokenizer_2/; both load and tokenize."""
+    from diffusion_models_moe_tpu.data.tokenizer import load_sdxl_tokenizers
+    for sub in ("tokenizer", "tokenizer_2"):
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "vocab.json").write_text(json.dumps(toy_tokenizer.encoder))
+        merges = sorted(toy_tokenizer.bpe_ranks, key=toy_tokenizer.bpe_ranks.get)
+        (d / "merges.txt").write_text(
+            "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    t1, t2 = load_sdxl_tokenizers(str(tmp_path), max_length=8)
+    ids1, ids2 = t1(["a photo of a cat"]), t2(["a photo of a cat"])
+    np.testing.assert_array_equal(ids1, ids2)
+    assert ids1.shape == (1, 8)
