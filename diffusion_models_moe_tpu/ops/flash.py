@@ -94,6 +94,27 @@ def flash_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.transpose(0, 2, 1, 3)[..., :d]
 
 
+@functools.lru_cache(maxsize=16)
+def _splash_kernel(s: int, h: int):
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm)
+    mask = sm.MultiHeadMask([sm.FullMask((s, s))] * h)
+    return sk.make_splash_mha_single_device(mask=mask)
+
+
+def splash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          sm_scale: float) -> jax.Array:
+    """jax's splash-attention kernel: handles SD's 40/80/160 head dims
+    NATIVELY (no 128-lane padding). q, k, v: (B, S, H, D); splash wants
+    (B, H, S, D) with q pre-scaled and returns f32."""
+    b, s, h, d = q.shape
+    kernel = _splash_kernel(s, h)
+    qt = (q * sm_scale).transpose(0, 2, 1, 3)
+    out = jax.vmap(kernel)(qt, k.transpose(0, 2, 1, 3),
+                           v.transpose(0, 2, 1, 3))
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def attention_dispatch(q, k, v, *, is_self: bool, sm_scale: float,
                        kv_valid: int, enabled: bool):
     """Pick the attention implementation for (B, S, H, D) tensors.
@@ -104,8 +125,9 @@ def attention_dispatch(q, k, v, *, is_self: bool, sm_scale: float,
                    (default; measured 0.888 img/s on the headline bench)
       custom       SD kernels for both self and cross (measured 0.644 — the
                    hand-rolled self-attention loses to the stock kernel)
-      custom-cross stock flash self + fused custom cross
-      custom-self  custom self + XLA cross"""
+      custom-cross stock flash self + fused custom cross (measured 0.584)
+      custom-self  custom self + XLA cross
+      splash       splash-attention for self (native head dims, no pad)"""
     impl = os.environ.get("DMOE_FLASH_IMPL", "jax")
     s_q, s_kv = q.shape[1], k.shape[1]
     long_q = enabled and s_q >= 256 and s_q % 128 == 0 \
@@ -116,6 +138,8 @@ def attention_dispatch(q, k, v, *, is_self: bool, sm_scale: float,
         if is_self and s_q == s_kv:
             if impl in ("custom", "custom-self"):
                 return sd_self_attention(q, k, v, sm_scale)
+            if impl == "splash":
+                return splash_self_attention(q, k, v, sm_scale)
             return flash_self_attention(q, k, v, sm_scale)
         if not is_self and impl in ("custom", "custom-cross"):
             return sd_cross_attention(q, k, v, sm_scale, kv_valid)

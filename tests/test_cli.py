@@ -1,0 +1,31 @@
+"""CLI smoke tests on the tiny random-init path (the reference's L7
+orchestration surface, one binary instead of 14 argparse scripts)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diffusion_models_moe_tpu.cli import main
+
+
+def test_cli_moefy_generate_roundtrip(tmp_path):
+    labels = tmp_path / "labels.npz"
+    main(["moefy", "--cpu", "--method", "greedy", "--expert-size", "16",
+          "--out", str(labels)])
+    assert labels.exists()
+    with np.load(labels) as z:
+        assert len(z.files) == 16            # all SD-topology FF layers
+    img = tmp_path / "out.png"
+    main(["generate", "--cpu", "--prompt", "a cat", "--labels", str(labels),
+          "--topk", "0.3", "--steps", "2", "--out", str(img)])
+    assert img.exists() and img.stat().st_size > 0
+
+
+def test_cli_protocol_memorize(tmp_path):
+    out_dir = tmp_path / "mem"
+    main(["protocol", "memorize", "--cpu", "--limit", "2", "--steps", "2",
+          "--batch", "2", "--split", "0", "--out-dir", str(out_dir)])
+    res = json.load(open(out_dir / "memorization_results.json"))
+    assert res["n_prompts"] == 2
+    assert np.isfinite(res["mean_similarity"])
