@@ -36,6 +36,40 @@ def load_sscd(path: str) -> Embedder:
     return embed
 
 
+def make_native_sscd(weights_path: str, batch: int = 32) -> Embedder:
+    """NATIVE SSCD judge on TPU: ResNet-50 trunk + GeM(p=3) + projection from a
+    torchscript/plain state dict (.pt via torch, or .npz of the same keys) —
+    models/backbones.py:sscd_embed replaces the reference's host-side
+    torchscript call (benchmarks/inference_mem.py:46-68)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_moe_tpu.models.backbones import (ResNetConfig,
+                                                           preprocess_imagenet,
+                                                           sscd_embed)
+    from diffusion_models_moe_tpu.weights.port_torchvision import port_sscd
+
+    if weights_path.endswith(".npz"):
+        sd = dict(np.load(weights_path))
+    else:
+        import torch
+        obj = torch.load(weights_path, map_location="cpu")
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    cfg = ResNetConfig()
+    params = port_sscd(sd, cfg)
+    fwd = jax.jit(lambda p, x: sscd_embed(p, preprocess_imagenet(x), cfg))
+
+    def embed(images: np.ndarray) -> np.ndarray:
+        images = np.asarray(images, np.float32)
+        outs = [np.asarray(jax.device_get(
+            fwd(params, jnp.asarray(images[s:s + batch]))))
+            for s in range(0, len(images), batch)]
+        return np.concatenate(outs)
+
+    return embed
+
+
 def _l2n(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float64)
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)

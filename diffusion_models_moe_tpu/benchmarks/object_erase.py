@@ -69,6 +69,39 @@ def object_erasure_scores(classify: Callable,
     }
 
 
+def make_resnet_classifier(weights_path: str, num_classes: int = 1000,
+                           batch: int = 64) -> Callable:
+    """NATIVE ResNet-50 judge on TPU from a torchvision-layout state dict
+    (.pt/.pth via torch, or .npz of the same keys). Replaces the reference's
+    torchvision dependency (benchmarks/object_erase.py:77-100) with
+    models/backbones.py; only the weight file stays external."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_models_moe_tpu.models.backbones import (
+        preprocess_imagenet, resnet50_config, resnet_logits)
+    from diffusion_models_moe_tpu.weights.port_torchvision import port_resnet
+
+    if weights_path.endswith(".npz"):
+        sd = dict(np.load(weights_path))
+    else:
+        import torch
+        sd = torch.load(weights_path, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+    cfg = resnet50_config(num_classes)
+    params = port_resnet(sd, cfg)
+    fwd = jax.jit(lambda p, x: resnet_logits(p, preprocess_imagenet(x), cfg))
+
+    def classify(images) -> np.ndarray:
+        images = np.asarray(images, np.float32)
+        outs = [np.asarray(jax.device_get(
+            fwd(params, jnp.asarray(images[s:s + batch]))))
+            for s in range(0, len(images), batch)]
+        return np.concatenate(outs)
+
+    return classify
+
+
 def load_torchvision_classifier(arch: str = "resnet50",
                                 weights_path: Optional[str] = None) -> Callable:
     """Host-side torchvision judge when weights exist locally (the reference's

@@ -3,9 +3,9 @@
 Rebuild of the reference's UCE-protocol scorer (reference:
 benchmarks/calculate_scores.py:70-79): given two directories of generated images
 (sd_*.png vs removed_*.png from the eval runner), compute FID with the native
-CLIP-feature extractor and LPIPS via an injected perceptual embedder (torch LPIPS
-weights are an external judge; gated with a clear error, CLIP-feature distance is
-the built-in fallback).
+CLIP-feature extractor and LPIPS either NATIVELY on TPU (load_native_lpips —
+models/backbones.py AlexNet+heads with ported weights) or via an injected
+perceptual embedder; CLIP-feature distance is the clearly-labeled fallback.
 """
 from __future__ import annotations
 
@@ -52,6 +52,25 @@ def fid_between_dirs(a_dir: str, b_dir: str, featurize: Callable,
         sa.update(np.asarray(featurize(load_images([a for a, _ in chunk]))))
         sb.update(np.asarray(featurize(load_images([b for _, b in chunk]))))
     return frechet_distance(*sa.finalize(), *sb.finalize())
+
+
+def load_native_lpips(alexnet_path: str, lins_path: str) -> Callable:
+    """NATIVE LPIPS on TPU (models/backbones.py:lpips_distance): AlexNet
+    features + learned linear heads ported from torch state dicts
+    (torchvision alexnet + the lpips package's lin weights) or .npz of the
+    same keys. Replaces the host-side lpips package with an on-device metric;
+    only the weight files stay external."""
+    from diffusion_models_moe_tpu.models.backbones import make_lpips_fn
+    from diffusion_models_moe_tpu.weights.port_torchvision import port_lpips
+
+    def _load(path: str) -> dict:
+        if path.endswith(".npz"):
+            return dict(np.load(path))
+        import torch
+        sd = torch.load(path, map_location="cpu")
+        return sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+
+    return make_lpips_fn(port_lpips(_load(alexnet_path), _load(lins_path)))
 
 
 def load_lpips(net: str = "alex") -> Callable:
