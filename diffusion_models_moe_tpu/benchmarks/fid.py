@@ -60,6 +60,36 @@ def fid_from_features(real: np.ndarray, fake: np.ndarray) -> float:
     return frechet_distance(*a.finalize(), *b.finalize())
 
 
+def make_inception_featurizer(params, cfg=None):
+    """Jitted (B, H, W, 3) [0,1] -> (B, 2048) pool features with the NATIVE
+    FID InceptionV3 (models/inception.py) — the reference's actual FID
+    feature space (torchmetrics InceptionV3, benchmarks/eval_coco.py:16,25-29).
+    `params` from weights/port_torchvision.py:port_inception."""
+    from diffusion_models_moe_tpu.models.inception import (InceptionConfig,
+                                                           inception_pool_features,
+                                                           preprocess_fid)
+    cfg = cfg or InceptionConfig()
+
+    @jax.jit
+    def featurize(images):
+        return inception_pool_features(params, preprocess_fid(images), cfg)
+
+    return featurize
+
+
+def load_inception_featurizer(weights_path: str):
+    """make_inception_featurizer from a torchvision/torch-fidelity state dict
+    on disk (.pt/.pth via torch, or .npz of the same keys)."""
+    from diffusion_models_moe_tpu.weights.port_torchvision import port_inception
+    if weights_path.endswith(".npz"):
+        sd = dict(np.load(weights_path))
+    else:
+        import torch
+        sd = torch.load(weights_path, map_location="cpu")
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    return make_inception_featurizer(port_inception(sd))
+
+
 def make_clip_featurizer(vision_encoder, vision_params):
     """Jitted (B, H, W, 3)->features fn using the native CLIP tower
     (the CLIP-feature FID variant, reference: sparsity/eval_coco.py:18-37)."""

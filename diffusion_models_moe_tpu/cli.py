@@ -260,8 +260,12 @@ def cmd_score_dirs(args):
                       )["params"]
         featurize = make_clip_featurizer(enc, vp)
     fid = fid_between_dirs(args.a_dir, args.b_dir, featurize)
-    perc = perceptual_between_dirs(args.a_dir, args.b_dir,
-                                   clip_perceptual_distance(featurize))
+    if args.lpips_alexnet and args.lpips_lins:
+        from diffusion_models_moe_tpu.benchmarks.scores import load_native_lpips
+        dist = load_native_lpips(args.lpips_alexnet, args.lpips_lins)
+    else:
+        dist = clip_perceptual_distance(featurize)
+    perc = perceptual_between_dirs(args.a_dir, args.b_dir, dist)
     print(json.dumps({"fid": fid, "perceptual": perc}))
 
 
@@ -405,6 +409,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--a-dir", required=True)
     sp.add_argument("--b-dir", required=True)
     sp.add_argument("--clip-snapshot", default=None)
+    # native LPIPS (models/backbones.py): torchvision alexnet + lpips lin heads
+    sp.add_argument("--lpips-alexnet", default=None)
+    sp.add_argument("--lpips-lins", default=None)
     sp.set_defaults(fn=cmd_score_dirs)
 
     sp = sub.add_parser("protocol"); common(sp, concept=True)

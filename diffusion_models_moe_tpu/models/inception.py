@@ -1,0 +1,180 @@
+"""Native InceptionV3 — the real FID backbone, on TPU.
+
+The reference computes FID with torchmetrics' InceptionV3 features
+(reference: benchmarks/eval_coco.py:16,25-29); until now this framework only had
+the CLIP-feature FID variant. This is a functional NHWC InceptionV3 whose
+params port from torchvision / torch-fidelity state dicts
+(weights/port_torchvision.py:port_inception), so 2048-d pool features — and
+therefore standard FID — run on device.
+
+`fid_variant=True` (default) reproduces torch-fidelity's FID network deltas vs
+stock torchvision: average pools inside InceptionA/C and Mixed_7b exclude the
+zero padding from the divisor (count_include_pad=False), and Mixed_7c's pool
+branch uses max pooling. With `fid_variant=False` the graph is stock torchvision
+InceptionV3 (eval mode, no aux head).
+
+Inference-only (frozen judge): batch norm (eps=1e-3) applies ported running
+statistics; params are plain nested dicts, as in models/backbones.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_moe_tpu.models.backbones import _conv, _max_pool
+
+
+def _bconv(params: dict, x: jax.Array, stride: int = 1,
+           padding=((0, 0), (0, 0))) -> jax.Array:
+    """BasicConv2d: conv (no bias) -> BN(eps=1e-3) -> relu."""
+    from diffusion_models_moe_tpu.models.backbones import _bn
+    return jax.nn.relu(_bn(params["bn"],
+                           _conv(params["conv"], x, stride, padding),
+                           eps=1e-3))
+
+
+def _avg_pool_3x3(x: jax.Array, exclude_pad: bool) -> jax.Array:
+    """3x3 stride-1 pad-1 average pool; exclude_pad divides by the count of
+    VALID elements per window (torch count_include_pad=False)."""
+    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
+    sums = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                                 (1, 3, 3, 1), (1, 1, 1, 1), pad)
+    if not exclude_pad:
+        return sums / jnp.asarray(9.0, x.dtype)
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    counts = jax.lax.reduce_window(ones, jnp.zeros((), x.dtype), jax.lax.add,
+                                   (1, 3, 3, 1), (1, 1, 1, 1), pad)
+    return sums / counts
+
+
+def _inception_a(p: dict, x: jax.Array, exclude_pad: bool) -> jax.Array:
+    b1 = _bconv(p["branch1x1"], x)
+    b5 = _bconv(p["branch5x5_2"], _bconv(p["branch5x5_1"], x),
+                padding=((2, 2), (2, 2)))
+    b3 = _bconv(p["branch3x3dbl_1"], x)
+    b3 = _bconv(p["branch3x3dbl_2"], b3, padding=((1, 1), (1, 1)))
+    b3 = _bconv(p["branch3x3dbl_3"], b3, padding=((1, 1), (1, 1)))
+    bp = _bconv(p["branch_pool"], _avg_pool_3x3(x, exclude_pad))
+    return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+def _inception_b(p: dict, x: jax.Array) -> jax.Array:
+    b3 = _bconv(p["branch3x3"], x, stride=2)
+    bd = _bconv(p["branch3x3dbl_1"], x)
+    bd = _bconv(p["branch3x3dbl_2"], bd, padding=((1, 1), (1, 1)))
+    bd = _bconv(p["branch3x3dbl_3"], bd, stride=2)
+    bp = _max_pool(x, 3, 2, "VALID")
+    return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+_P17 = ((0, 0), (3, 3))   # (1,7) kernel padding
+_P71 = ((3, 3), (0, 0))   # (7,1) kernel padding
+
+
+def _inception_c(p: dict, x: jax.Array, exclude_pad: bool) -> jax.Array:
+    b1 = _bconv(p["branch1x1"], x)
+    b7 = _bconv(p["branch7x7_1"], x)
+    b7 = _bconv(p["branch7x7_2"], b7, padding=_P17)
+    b7 = _bconv(p["branch7x7_3"], b7, padding=_P71)
+    bd = _bconv(p["branch7x7dbl_1"], x)
+    bd = _bconv(p["branch7x7dbl_2"], bd, padding=_P71)
+    bd = _bconv(p["branch7x7dbl_3"], bd, padding=_P17)
+    bd = _bconv(p["branch7x7dbl_4"], bd, padding=_P71)
+    bd = _bconv(p["branch7x7dbl_5"], bd, padding=_P17)
+    bp = _bconv(p["branch_pool"], _avg_pool_3x3(x, exclude_pad))
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+def _inception_d(p: dict, x: jax.Array) -> jax.Array:
+    b3 = _bconv(p["branch3x3_2"], _bconv(p["branch3x3_1"], x), stride=2)
+    b7 = _bconv(p["branch7x7x3_1"], x)
+    b7 = _bconv(p["branch7x7x3_2"], b7, padding=_P17)
+    b7 = _bconv(p["branch7x7x3_3"], b7, padding=_P71)
+    b7 = _bconv(p["branch7x7x3_4"], b7, stride=2)
+    bp = _max_pool(x, 3, 2, "VALID")
+    return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+def _inception_e(p: dict, x: jax.Array, pool: str) -> jax.Array:
+    b1 = _bconv(p["branch1x1"], x)
+    b3 = _bconv(p["branch3x3_1"], x)
+    b3 = jnp.concatenate([
+        _bconv(p["branch3x3_2a"], b3, padding=((0, 0), (1, 1))),
+        _bconv(p["branch3x3_2b"], b3, padding=((1, 1), (0, 0)))], axis=-1)
+    bd = _bconv(p["branch3x3dbl_1"], x)
+    bd = _bconv(p["branch3x3dbl_2"], bd, padding=((1, 1), (1, 1)))
+    bd = jnp.concatenate([
+        _bconv(p["branch3x3dbl_3a"], bd, padding=((0, 0), (1, 1))),
+        _bconv(p["branch3x3dbl_3b"], bd, padding=((1, 1), (0, 0)))], axis=-1)
+    if pool == "max":
+        bp = _max_pool(x, 3, 1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    elif pool == "avg_exclude":
+        bp = _avg_pool_3x3(x, exclude_pad=True)
+    else:
+        bp = _avg_pool_3x3(x, exclude_pad=False)
+    bp = _bconv(p["branch_pool"], bp)
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class InceptionConfig:
+    fid_variant: bool = True
+    num_classes: int = 1008  # torch-fidelity FID weights head (1008 logits)
+
+
+# (module name, block kind, block arg) in forward order
+INCEPTION_BLOCKS: Sequence[tuple[str, str]] = (
+    ("Mixed_5b", "a"), ("Mixed_5c", "a"), ("Mixed_5d", "a"),
+    ("Mixed_6a", "b"),
+    ("Mixed_6b", "c"), ("Mixed_6c", "c"), ("Mixed_6d", "c"), ("Mixed_6e", "c"),
+    ("Mixed_7a", "d"),
+    ("Mixed_7b", "e1"), ("Mixed_7c", "e2"),
+)
+
+
+def inception_pool_features(params: dict, images: jax.Array,
+                            cfg: InceptionConfig = InceptionConfig()
+                            ) -> jax.Array:
+    """(B, 299, 299, 3) in [-1, 1] -> (B, 2048) pool features (the FID space)."""
+    ex = cfg.fid_variant
+    x = _bconv(params["Conv2d_1a_3x3"], images, stride=2)
+    x = _bconv(params["Conv2d_2a_3x3"], x)
+    x = _bconv(params["Conv2d_2b_3x3"], x, padding=((1, 1), (1, 1)))
+    x = _max_pool(x, 3, 2, "VALID")
+    x = _bconv(params["Conv2d_3b_1x1"], x)
+    x = _bconv(params["Conv2d_4a_3x3"], x)
+    x = _max_pool(x, 3, 2, "VALID")
+    for name, kind in INCEPTION_BLOCKS:
+        p = params[name]
+        if kind == "a":
+            x = _inception_a(p, x, ex)
+        elif kind == "b":
+            x = _inception_b(p, x)
+        elif kind == "c":
+            x = _inception_c(p, x, ex)
+        elif kind == "d":
+            x = _inception_d(p, x)
+        elif kind == "e1":
+            x = _inception_e(p, x, "avg_exclude" if ex else "avg")
+        else:  # e2: FID variant uses a max-pool branch
+            x = _inception_e(p, x, "max" if ex else "avg")
+    return jnp.mean(x, axis=(1, 2))
+
+
+def inception_logits(params: dict, images: jax.Array,
+                     cfg: InceptionConfig = InceptionConfig()) -> jax.Array:
+    pooled = inception_pool_features(params, images, cfg)
+    return pooled @ params["fc"]["kernel"].astype(pooled.dtype) \
+        + params["fc"]["bias"].astype(pooled.dtype)
+
+
+def preprocess_fid(images: jax.Array, size: int = 299) -> jax.Array:
+    """(B, H, W, 3) float [0, 1] -> bilinear-resized 299, scaled to [-1, 1]
+    (torchmetrics FID normalize=True semantics)."""
+    b, h, w, c = images.shape
+    if (h, w) != (size, size):
+        images = jax.image.resize(images, (b, size, size, c), "bilinear")
+    return images * 2.0 - 1.0

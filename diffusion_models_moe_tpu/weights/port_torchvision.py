@@ -109,6 +109,28 @@ def port_lpips(alex_sd: Mapping, lin_sd: Mapping,
     return {"net": port_alexnet(alex_sd), "lins": lins}
 
 
+def port_inception(sd: Mapping) -> dict:
+    """torchvision / torch-fidelity InceptionV3 state dict ->
+    models/inception.py params. Walks `<module>.conv.weight` + `<module>.bn.*`
+    pairs generically (BasicConv2d is the only leaf kind); the aux head is
+    dropped (eval-mode FID network has no aux logits)."""
+    params: dict = {}
+    for k in sd:
+        if not k.endswith(".conv.weight") or k.startswith("AuxLogits"):
+            continue
+        base = k[: -len(".conv.weight")]
+        parts = base.split(".")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = {"conv": _conv_p(sd, f"{base}.conv"),
+                           "bn": _bn_p(sd, f"{base}.bn")}
+    if "fc.weight" in sd:
+        params["fc"] = {"kernel": _np(sd["fc.weight"]).T,
+                        "bias": _np(sd["fc.bias"])}
+    return params
+
+
 def census(params: dict, prefix: str = "") -> Sequence[str]:
     """Flattened key listing (debug aid, mirrors tests' key-census pattern)."""
     out = []
