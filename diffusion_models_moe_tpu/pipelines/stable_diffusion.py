@@ -199,24 +199,34 @@ class StableDiffusionPipeline:
         per-(t, l) statistics as stacked arrays.
 
         With `mesh` (a Mesh containing a 'dp' axis), the prompt batch is sharded
-        over 'dp' and params/interventions are replicated — data-parallel
-        inference over ICI, the TPU-native replacement for the reference's
-        batch<=4 single-GPU eval loop (SURVEY.md §5.8 inference row). Batch must
-        be divisible by the 'dp' axis size. XLA propagates the batch sharding
-        through the whole traced generate; no other annotation needed.
+        over 'dp' — data-parallel inference over ICI, the TPU-native replacement
+        for the reference's batch<=4 single-GPU eval loop (SURVEY.md §5.8
+        inference row). Batch must be divisible by the 'dp' axis size. If the
+        mesh also has a 'tp' axis > 1, params shard tensor-parallel (FF hidden +
+        attention heads, parallel/mesh.py rules) and XLA GSPMD inserts the ICI
+        reduces; otherwise params replicate. Both modes are parity-tested
+        against single-device output.
         """
         cfg = self.config
         num_steps = num_steps or cfg.num_inference_steps
         g = cfg.guidance_scale if guidance_scale is None else guidance_scale
         if mesh is not None:
             from diffusion_models_moe_tpu.parallel.mesh import (batch_sharding,
+                                                                param_shardings,
                                                                 replicated)
             cond_ids = jax.device_put(jnp.asarray(cond_ids),
                                       batch_sharding(mesh, cond_ids.ndim))
             uncond_ids = jax.device_put(jnp.asarray(uncond_ids),
                                         batch_sharding(mesh, uncond_ids.ndim))
             rep = replicated(mesh)
-            params = jax.device_put(params, rep)
+            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+                # tensor-parallel inference: FF hidden + attention heads shard
+                # over 'tp' (parallel/mesh.py rules); XLA GSPMD inserts the
+                # reduce over ICI at each out-projection. Composes with 'dp'
+                # batch sharding on the ids above.
+                params = jax.device_put(params, param_shardings(params, mesh))
+            else:
+                params = jax.device_put(params, rep)
             key = jax.device_put(key, rep)
             if ivs is not None:
                 ivs = jax.device_put(ivs, rep)

@@ -170,6 +170,28 @@ def test_dp_generate_parity():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_dp_tp_generate_parity():
+    """Tensor-parallel inference: params sharded over 'tp' (FF hidden +
+    attention heads, parallel/mesh.py rules) composed with 'dp' batch sharding
+    must still equal the single-device output (SURVEY.md §5.8 TP row)."""
+    from diffusion_models_moe_tpu import StableDiffusionPipeline
+
+    cfg = tiny_config()
+    pipe = StableDiffusionPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    b = 4
+    cond = jax.random.randint(jax.random.PRNGKey(1),
+                              (b, cfg.text_encoder.max_length), 0,
+                              cfg.text_encoder.vocab_size)
+    uncond = jnp.zeros_like(cond)
+    key = jax.random.PRNGKey(2)
+    img0, _ = pipe.generate(params, cond, uncond, key, num_steps=2)
+    mesh = create_mesh(8, dp=2, tp=4)
+    img1, _ = pipe.generate(params, cond, uncond, key, num_steps=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=2e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("d", [40, 64])
 def test_sd_self_attention_kernel_parity(d):
     """Custom SD flash (native head dim, (B,S,H,D) layout) == XLA attention."""
