@@ -102,11 +102,30 @@ class SDXLPipeline:
                  num_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
                  size: Optional[tuple] = None,
-                 tap=None, ivs=None, decode: bool = True):
+                 tap=None, ivs=None, decode: bool = True, mesh=None):
         cfg = self.config
         num_steps = num_steps or cfg.num_inference_steps
         g = cfg.guidance_scale if guidance_scale is None else guidance_scale
         px = (size or (cfg.sample_size * 8, cfg.sample_size * 8))
+        if mesh is not None:
+            # same dp/tp placement as StableDiffusionPipeline.generate — SDXL
+            # is where tp matters most (2.6B UNet; 70 depth-stacked FFs shard
+            # on the same rules)
+            from diffusion_models_moe_tpu.parallel.mesh import (batch_sharding,
+                                                                param_shardings,
+                                                                replicated)
+            cond_ids = jax.device_put(jnp.asarray(cond_ids),
+                                      batch_sharding(mesh, cond_ids.ndim))
+            uncond_ids = jax.device_put(jnp.asarray(uncond_ids),
+                                        batch_sharding(mesh, uncond_ids.ndim))
+            rep = replicated(mesh)
+            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+                params = jax.device_put(params, param_shardings(params, mesh))
+            else:
+                params = jax.device_put(params, rep)
+            key = jax.device_put(key, rep)
+            if ivs is not None:
+                ivs = jax.device_put(ivs, rep)
         fn = self._jitted(num_steps, g, px, tap, decode, ivs is not None)
         return fn(params, cond_ids, uncond_ids, key, ivs)
 

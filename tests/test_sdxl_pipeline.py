@@ -53,6 +53,24 @@ def test_sdxl_pipeline_generates():
     assert not np.allclose(np.asarray(img), np.asarray(img2))
 
 
+def test_sdxl_dp_tp_generate_parity():
+    """SDXL mesh-sharded generate (dp=2 x tp=4 over the 8-device CPU mesh)
+    must equal single-device output — the tp rules cover the depth-stacked
+    transformer FFs and dual text towers."""
+    from diffusion_models_moe_tpu.parallel.mesh import create_mesh
+
+    pipe = _tiny_sdxl()
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    cond = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 100)
+    uncond = jnp.zeros_like(cond)
+    key = jax.random.PRNGKey(2)
+    img0, _ = pipe.generate(params, cond, uncond, key, num_steps=2)
+    mesh = create_mesh(8, dp=2, tp=4)
+    img1, _ = pipe.generate(params, cond, uncond, key, num_steps=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_sdxl_taps_cover_all_ffs():
     pipe = _tiny_sdxl()
     params = pipe.init_params(jax.random.PRNGKey(0))
