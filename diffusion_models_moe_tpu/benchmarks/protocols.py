@@ -84,6 +84,52 @@ def memorization_protocol(pipe, params, tokenize, out_dir: str,
     return result
 
 
+def object_erasure_protocol(pipe, params, tokenize, out_dir: str,
+                            classify: Callable[[np.ndarray], np.ndarray],
+                            target: str,
+                            classes: Optional[Sequence[str]] = None,
+                            ivs=None, limit: Optional[int] = None,
+                            num_steps: int = 50, batch_size: int = 4,
+                            mesh=None) -> dict:
+    """Object erasure at the reference operating point: generate the target
+    object's prompts (erase split) and every other imagenette object's prompts
+    (keep split) under the intervention, then judge with a classifier over the
+    class list — erase accuracy should drop, keep accuracy should hold
+    (reference: benchmarks/object_erase.py:18-45,52-100; judge = ResNet-50/ViT
+    there, any images->logits callable here, e.g. the native ResNet-50 or the
+    zero-shot CLIP judge)."""
+    from diffusion_models_moe_tpu.benchmarks.object_erase import (
+        object_erasure_scores)
+
+    classes = list(classes or P.erasing_objects())
+    target_idx = classes.index(target)
+    keep_classes = [c for c in classes if c != target]
+    if limit:
+        keep_classes = keep_classes[:limit]
+    erase_prompts = P.concept_prompts("imagenette", subjects=[target]).concept
+    if limit:
+        erase_prompts = erase_prompts[:limit]
+    keep_prompts = [f"a photo of a {c}" for c in keep_classes]
+
+    for sub, prompts in (("erase", erase_prompts), ("keep", keep_prompts)):
+        cfg = EvalRunConfig(out_dir=os.path.join(out_dir, sub),
+                            batch_size=batch_size, num_steps=num_steps,
+                            save_baseline=False)
+        run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+    erased = np.stack(_load_pngs(os.path.join(out_dir, "erase"), "removed",
+                                 len(erase_prompts)))
+    kept = np.stack(_load_pngs(os.path.join(out_dir, "keep"), "removed",
+                               len(keep_prompts)))
+    keep_labels = [classes.index(c) for c in keep_classes]
+    result = object_erasure_scores(classify, erased, kept, target_idx,
+                                   keep_labels)
+    result.update(target=target, n_erase=len(erase_prompts),
+                  n_keep=len(keep_prompts))
+    with open(os.path.join(out_dir, "object_erasure_results.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
 def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
                             featurize: Callable[[np.ndarray], np.ndarray],
                             artists: Optional[Sequence[str]] = None,

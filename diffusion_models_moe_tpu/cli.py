@@ -325,9 +325,69 @@ def cmd_protocol(args):
             pipe, params, tokenize, args.out_dir, clip_featurize(),
             n_artists=args.n_artists, part=args.part, seed=args.seed,
             **common)
+    elif args.name == "objects":
+        classify = _protocol_classifier(args, pipe, params, tokenize,
+                                        clip_featurize)
+        out = proto.object_erasure_protocol(
+            pipe, params, tokenize, args.out_dir, classify,
+            target=args.concept or "parachute", **common)
+    elif args.name == "debias":
+        from diffusion_models_moe_tpu.benchmarks.debias import debias_eval
+        from diffusion_models_moe_tpu.data.prompts import professions
+        feat = clip_featurize()
+        man, woman = _class_embeddings(args, pipe, params, tokenize, feat,
+                                       ["a photo of a man",
+                                        "a photo of a woman"])
+        profs = professions()
+        if args.limit:
+            profs = profs[:args.limit]
+        out = debias_eval(
+            pipe, params, tokenize, feat, man, woman, ivs,
+            seeds=range(args.seed, args.seed + (args.limit or 4)),
+            professions=profs, num_steps=args.steps or 50,
+            out_path=os.path.join(args.out_dir, "debias_results.json"))
     else:
         raise SystemExit(f"unknown protocol {args.name}")
     print(json.dumps(out))
+
+
+def _class_embeddings(args, pipe, params, tokenize, featurize, texts):
+    """Class embeddings for zero-shot judging, in the image featurizer's space:
+    from --class-embs .npz (real CLIP text embeddings matching a real CLIP
+    vision tower), or a clearly-degraded fallback — featurize one baseline
+    generation per class prompt as its anchor (dimensionally consistent in any
+    config; smoke path, NOT the CLIP joint space)."""
+    import jax
+    import numpy as np
+    if getattr(args, "class_embs", None):
+        data = np.load(args.class_embs)
+        return [data[k] for k in data.files]
+    out = []
+    uncond = tokenize([""])
+    for i, t in enumerate(texts):
+        img, _ = pipe.generate(params, tokenize([t]), uncond,
+                               jax.random.PRNGKey(10_000 + i),
+                               num_steps=min(args.steps or 50, 8))
+        out.append(np.asarray(featurize(np.asarray(img)))[0])
+    return out
+
+
+def _protocol_classifier(args, pipe, params, tokenize, clip_featurize):
+    """images -> logits judge for the objects protocol: native ResNet-50 when
+    --judge points at a torchvision state dict, else zero-shot CLIP over the
+    class list."""
+    import numpy as np
+    if args.judge and args.judge != "none":
+        from diffusion_models_moe_tpu.benchmarks.object_erase import (
+            make_resnet_classifier)
+        return make_resnet_classifier(args.judge)
+    from diffusion_models_moe_tpu.benchmarks.object_erase import (
+        make_clip_zero_shot_classifier)
+    from diffusion_models_moe_tpu.data.prompts import erasing_objects
+    feat = clip_featurize()
+    embs = _class_embeddings(args, pipe, params, tokenize, feat,
+                             [f"a photo of a {c}" for c in erasing_objects()])
+    return make_clip_zero_shot_classifier(feat, np.stack(embs))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -415,7 +475,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_score_dirs)
 
     sp = sub.add_parser("protocol"); common(sp, concept=True)
-    sp.add_argument("name", choices=["i2p", "memorize", "artists"])
+    sp.add_argument("name", choices=["i2p", "memorize", "artists", "objects",
+                                     "debias"])
     sp.add_argument("--out-dir", required=True)
     sp.add_argument("--masks", default=None,
                     help="wanda mask npz to apply as the intervention")
@@ -427,8 +488,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-artists", type=int, default=100)
     sp.add_argument("--part", type=int, default=1)
     sp.add_argument("--judge", default="none",
-                    help="NudeNet model path for i2p")
+                    help="NudeNet path (i2p) / ResNet-50 state dict (objects)")
     sp.add_argument("--clip-snapshot", default=None)
+    sp.add_argument("--class-embs", default=None,
+                    help=".npz of class text embeddings in the featurizer's "
+                         "space (objects/debias zero-shot judges)")
     sp.set_defaults(fn=cmd_protocol)
     return p
 

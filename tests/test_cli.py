@@ -29,3 +29,23 @@ def test_cli_protocol_memorize(tmp_path):
     res = json.load(open(out_dir / "memorization_results.json"))
     assert res["n_prompts"] == 2
     assert np.isfinite(res["mean_similarity"])
+
+
+def test_cli_protocol_objects(tmp_path):
+    out_dir = tmp_path / "obj"
+    main(["protocol", "objects", "--cpu", "--limit", "2", "--steps", "2",
+          "--batch", "2", "--concept", "parachute", "--out-dir",
+          str(out_dir)])
+    res = json.load(open(out_dir / "object_erasure_results.json"))
+    assert res["target"] == "parachute"
+    for k in ("erase_top1", "erase_top5", "keep_top1", "keep_top5"):
+        assert 0.0 <= res[k] <= 1.0
+
+
+def test_cli_protocol_debias(tmp_path):
+    out_dir = tmp_path / "deb"
+    main(["protocol", "debias", "--cpu", "--limit", "2", "--steps", "2",
+          "--seed", "3", "--out-dir", str(out_dir)])
+    res = json.load(open(out_dir / "debias_results.json"))
+    assert len(res["per_profession"]) == 2
+    assert 0.0 <= res["mean_abs_bias_after"] <= 0.5
