@@ -50,6 +50,11 @@ _UNET_RULES = [
     (r".*/attn\d/to_out/kernel$", P("tp", None)),
     (r".*/(fc1|mlp/fc1)/kernel$", P(None, "tp")),
     (r".*/fc2_kernel$", P("tp", None)),
+    # T5 encoder (PixArt conditioning): heads + gated-GELU hidden over tp
+    (r".*/attn/[qkv]/kernel$", P(None, "tp")),
+    (r".*/attn/o/kernel$", P("tp", None)),
+    (r".*/wi_[01]/kernel$", P(None, "tp")),
+    (r".*/wo/kernel$", P("tp", None)),
 ]
 
 

@@ -102,10 +102,31 @@ class PixArtPipeline:
                  guidance_scale: Optional[float] = None,
                  tap: Optional[TapSpec] = None,
                  ivs: Optional[Interventions] = None,
-                 decode: bool = True):
+                 decode: bool = True, mesh=None):
         cfg = self.config
         num_steps = num_steps or cfg.num_inference_steps
         g = cfg.guidance_scale if guidance_scale is None else guidance_scale
+        if mesh is not None:
+            # dp/tp placement as in StableDiffusionPipeline.generate (the T5
+            # MLPs and DiT attention/FF shard on the same path rules)
+            from diffusion_models_moe_tpu.parallel.mesh import (batch_sharding,
+                                                                param_shardings,
+                                                                replicated)
+            bs = batch_sharding(mesh, 2)
+            cond_ids = jax.device_put(jnp.asarray(cond_ids), bs)
+            uncond_ids = jax.device_put(jnp.asarray(uncond_ids), bs)
+            if cond_mask is not None:
+                cond_mask = jax.device_put(jnp.asarray(cond_mask), bs)
+            if uncond_mask is not None:
+                uncond_mask = jax.device_put(jnp.asarray(uncond_mask), bs)
+            rep = replicated(mesh)
+            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+                params = jax.device_put(params, param_shardings(params, mesh))
+            else:
+                params = jax.device_put(params, rep)
+            key = jax.device_put(key, rep)
+            if ivs is not None:
+                ivs = jax.device_put(ivs, rep)
         fn = self._jitted_generate(num_steps, g, tap, decode,
                                    ivs is not None,
                                    cond_mask is not None)

@@ -110,6 +110,25 @@ def test_pixart_pipeline_generates(pixart_pipe):
     assert not np.allclose(np.asarray(img), np.asarray(img2))
 
 
+def test_pixart_dp_tp_generate_parity(pixart_pipe):
+    """PixArt mesh-sharded generate (dp=2 x tp=4): T5 q/k/v/o + wi/wo and DiT
+    attention/FF shard over 'tp' (parallel/mesh.py rules) — output must equal
+    single-device."""
+    from diffusion_models_moe_tpu.parallel.mesh import create_mesh
+
+    pipe, params = pixart_pipe
+    tc = pipe.config.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1), (4, tc.max_length), 0,
+                              tc.vocab_size)
+    uncond = jnp.zeros_like(cond)
+    key = jax.random.PRNGKey(2)
+    img0, _ = pipe.generate(params, cond, uncond, key, num_steps=2)
+    mesh = create_mesh(8, dp=2, tp=4)
+    img1, _ = pipe.generate(params, cond, uncond, key, num_steps=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_pixart_pipeline_mean_gate_attribution(pixart_pipe):
     """Mean-gate attribution runs through the scanned PixArt loop
     (reference GELU path: neuron_receivers/predictivity.py:55-62)."""
