@@ -7,7 +7,9 @@ minimizes average ||eps_removed - eps_base|| over timesteps via a whole-UNet hoo
 (reference: modularity/remove_experts_noise_hpo.py:133-240,
 neuron_receivers/base_unet_receiver.py:25-45). Here:
 
-  * studies are plain grid/random search with JSON trial logs (no SQLite);
+  * studies are grid / random / TPE search with JSON trial logs (no SQLite;
+    TPE is the Optuna default sampler the reference's studies use — a Parzen
+    good/bad split with the standard l(x)/g(x) acquisition);
   * the noise objective needs no hook — the denoise scan already returns the
     CFG-combined eps trajectory when asked.
 """
@@ -62,6 +64,51 @@ class Study:
         for _ in range(n_trials):
             params = {k: float(rng.uniform(lo, hi))
                       for k, (lo, hi) in space.items()}
+            self._run_trial(objective, params)
+        return self.best_trial()
+
+    def optimize_tpe(self, objective: Callable[[dict], float],
+                     space: dict[str, tuple[float, float]], n_trials: int,
+                     seed: int = 0, n_startup: int = 5, gamma: float = 0.25,
+                     n_candidates: int = 24) -> Trial:
+        """Tree-structured Parzen Estimator over a box space (the reference's
+        Optuna studies use TPESampler by default). After `n_startup` random
+        trials, completed trials split into the best gamma-quantile ("good")
+        and the rest; candidates are drawn from the good Parzen mixture and
+        ranked by log l(x) - log g(x), independently per dimension."""
+        rng = np.random.RandomState(seed)
+
+        def log_kde(x: float, centers: np.ndarray, lo: float, hi: float
+                    ) -> float:
+            # Parzen mixture with a fixed-fraction-of-range bandwidth shrunk
+            # by sample count (Optuna-style magic constants not replicated;
+            # behavior-equivalent density ranking is what matters here)
+            sigma = max((hi - lo) / 5.0 / max(len(centers), 1) ** 0.5, 1e-12)
+            z = (x - centers) / sigma
+            return float(np.log(np.mean(np.exp(-0.5 * z * z)) /
+                                (sigma * np.sqrt(2 * np.pi)) + 1e-300))
+
+        for _ in range(n_trials):
+            if len(self.trials) < n_startup:
+                params = {k: float(rng.uniform(lo, hi))
+                          for k, (lo, hi) in space.items()}
+            else:
+                ordered = sorted(self.trials, key=lambda t: t.value,
+                                 reverse=(self.direction == "maximize"))
+                n_good = max(1, int(np.ceil(gamma * len(ordered))))
+                good, bad = ordered[:n_good], ordered[n_good:] or ordered
+                params = {}
+                for k, (lo, hi) in space.items():
+                    g_centers = np.asarray([t.params[k] for t in good])
+                    b_centers = np.asarray([t.params[k] for t in bad])
+                    sigma = max((hi - lo) / 5.0 / len(g_centers) ** 0.5,
+                                1e-12)
+                    cands = np.clip(
+                        g_centers[rng.randint(len(g_centers), size=n_candidates)]
+                        + rng.randn(n_candidates) * sigma, lo, hi)
+                    scores = [log_kde(c, g_centers, lo, hi)
+                              - log_kde(c, b_centers, lo, hi) for c in cands]
+                    params[k] = float(cands[int(np.argmax(scores))])
             self._run_trial(objective, params)
         return self.best_trial()
 

@@ -68,6 +68,27 @@ def test_study_grid_and_random(tmp_path):
     assert best2.value == max(t.value for t in study2.trials)
 
 
+def test_study_tpe_beats_random_on_quadratic():
+    """TPE (the reference's Optuna default sampler) concentrates around the
+    optimum: with the same budget/seed it must beat plain random search on a
+    smooth 2-d quadratic, and respect box bounds."""
+    def obj(p):
+        return (p["x"] - 0.31) ** 2 + (p["y"] - 0.72) ** 2
+
+    space = {"x": (0.0, 1.0), "y": (0.0, 1.0)}
+    tpe = Study("tpe").optimize_tpe(obj, space, n_trials=40, seed=0)
+    rnd = Study("rnd").optimize_random(obj, space, n_trials=40, seed=0)
+    assert tpe.value < rnd.value
+    assert tpe.value < 0.005
+    assert 0.0 <= tpe.params["x"] <= 1.0 and 0.0 <= tpe.params["y"] <= 1.0
+
+    # maximize direction flips the good/bad split
+    best = Study("m", direction="maximize").optimize_tpe(
+        lambda p: -((p["x"] - 0.5) ** 2), {"x": (0.0, 1.0)},
+        n_trials=25, seed=2)
+    assert abs(best.params["x"] - 0.5) < 0.15
+
+
 def test_param_count_report():
     import jax
     from diffusion_models_moe_tpu.training.trainer import param_count_report
