@@ -135,3 +135,19 @@ def test_expert_freq_normalization(setup):
     for l in (0, 6, 15):
         freq = np.asarray(taps["expert_freq"][l])
         np.testing.assert_allclose(freq.sum(axis=1), 3.0, rtol=1e-4)
+
+
+def test_split_proj_bitwise_matches_fused(monkeypatch):
+    """The dim<=640 split-projection fast path (two H-wide dots, see
+    _GEGLUProj) must be bitwise identical to the fused 2H-wide dot and keep
+    the nn.Dense-compatible proj/{kernel,bias} param tree."""
+    from diffusion_models_moe_tpu.models.attention import GEGLUFeedForward
+    ff = GEGLUFeedForward(16, 4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    params = ff.init(jax.random.PRNGKey(1), x)["params"]
+    assert set(params["proj"].keys()) == {"kernel", "bias"}
+    monkeypatch.setenv("DMOE_SPLIT_PROJ", "0")
+    fused = ff.apply({"params": params}, x)
+    monkeypatch.setenv("DMOE_SPLIT_PROJ", "1")
+    split = ff.apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
