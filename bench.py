@@ -80,6 +80,11 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
         unet = dataclasses.replace(unet, use_fused_routing=False)
     if os.environ.get("DMOE_FAST_NORM", "0") == "1":
         unet = dataclasses.replace(unet, fast_norm=True)
+    quant = os.environ.get("DMOE_QUANT", "0") == "1"
+    if quant:
+        # int8 W8A8 serving mode (ops/quant.py) — outputs differ from bf16, so
+        # this is never the default headline; the metric label says int8.
+        unet = dataclasses.replace(unet, quant_int8=True)
     cfg = dataclasses.replace(cfg, unet=unet)
     pipe = StableDiffusionPipeline(cfg)
     t_p = time.perf_counter()
@@ -130,8 +135,10 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * runs / dt
+    variant = " int8" if quant else ""
     out = {
-        "metric": f"moefied SD1.5 images/sec/chip @ {steps} steps (batch {batch})",
+        "metric": f"moefied SD1.5{variant} images/sec/chip @ {steps} steps "
+                  f"(batch {batch})",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / REFERENCE_HOOKED_IMGS_PER_SEC, 2),

@@ -55,6 +55,12 @@ class UNetConfig:
     # normalization statistics in compute dtype instead of f32 (throughput A/B;
     # keep False for fidelity-critical runs)
     fast_norm: bool = False
+    # int8 W8A8 quantized serving (ops/quant.py): UNet convs (except
+    # conv_in/conv_out), attention projections, and GEGLU FF dots run on the
+    # MXU's 2x int8 path. OPT-IN — outputs differ from bf16; the reference has
+    # no quantized path (SURVEY.md §0). Param tree is unchanged (dynamic
+    # quantization; weight quantize is hoisted out of the denoise scan by XLA).
+    quant_int8: bool = False
     # SDXL additional conditioning: pooled text embedding width (0 = disabled)
     addition_embed_dim: int = 0
     # SDXL micro-conditioning time_ids count (6 for SDXL)

@@ -18,6 +18,34 @@ from diffusion_models_moe_tpu.taps import (LayerIntervention, TapSpec,
                                            routing_mask)
 
 
+class QuantDense(nn.Module):
+    """``nn.Dense``-compatible layer (same ``kernel``/``bias`` pytree and init)
+    running the int8 W8A8 dot (`ops/quant.py`) — the opt-in serving mode."""
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusion_models_moe_tpu.ops.quant import int8_dot
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        y = int8_dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def make_dense(features, *, use_bias=True, dtype=jnp.float32, quant=False,
+               name=None):
+    """nn.Dense, or its int8 twin when `quant` (identical param tree)."""
+    if quant:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class Attention(nn.Module):
     """Multi-head (self or cross) attention.
 
@@ -30,18 +58,19 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
     flash: bool = True
     qkv_bias: bool = False               # PixArt uses attention_bias=True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
         is_self = context is None
         context = x if context is None else context
         head_dim = self.query_dim // self.heads
-        q = nn.Dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     name="to_q")(x)
-        k = nn.Dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     name="to_k")(context)
-        v = nn.Dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     name="to_v")(context)
+        q = make_dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       quant=self.quant, name="to_q")(x)
+        k = make_dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       quant=self.quant, name="to_k")(context)
+        v = make_dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       quant=self.quant, name="to_v")(context)
 
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim)
@@ -53,7 +82,8 @@ class Attention(nn.Module):
                                  kv_valid=context.shape[1],
                                  enabled=self.flash)
         out = out.reshape(x.shape[0], x.shape[1], self.query_dim)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        return make_dense(self.query_dim, dtype=self.dtype, quant=self.quant,
+                          name="to_out")(out)
 
 
 class _GEGLUProj(nn.Module):
@@ -68,6 +98,7 @@ class _GEGLUProj(nn.Module):
     features: int            # 2 * hidden_dim
     split: bool = False
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -78,6 +109,12 @@ class _GEGLUProj(nn.Module):
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
         h = self.features // 2
+        if self.quant:
+            # int8 serving path: always split (per-column weight scales make the
+            # two halves independently scaled anyway).
+            from diffusion_models_moe_tpu.ops.quant import int8_dot
+            return (int8_dot(x, kernel[:, :h]) + bias[:h],
+                    int8_dot(x, kernel[:, h:]) + bias[h:])
         if not self.split:
             hg = x @ kernel + bias
             hidden, gate = jnp.split(hg, 2, axis=-1)
@@ -105,6 +142,7 @@ class GEGLUFeedForward(nn.Module):
     ff_index: int = 0
     dtype: Any = jnp.float32
     use_fused_routing: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, step_idx=None,
@@ -119,14 +157,16 @@ class GEGLUFeedForward(nn.Module):
             env = os.environ.get("DMOE_SPLIT_PROJ", "")
             split = self.dim <= 640 if env == "" else env == "1"
             hidden, gate = _GEGLUProj(2 * hidden_dim, split=split,
-                                      dtype=self.dtype, name="proj")(x)
+                                      dtype=self.dtype, quant=self.quant,
+                                      name="proj")(x)
             if self.activation == "geglu-relu":
                 gate = jax.nn.relu(gate)
             else:
                 gate = jax.nn.gelu(gate, approximate=False)
         else:
             hidden = None
-            gate = nn.Dense(hidden_dim, dtype=self.dtype, name="proj")(x)
+            gate = make_dense(hidden_dim, dtype=self.dtype, quant=self.quant,
+                              name="proj")(x)
             gate = jax.nn.gelu(gate,
                                approximate=self.activation == "gelu-tanh")
 
@@ -203,6 +243,9 @@ class GEGLUFeedForward(nn.Module):
             wm = iv.out_weight_mask
             wm = wm[t] if wm.ndim == 3 else wm      # (H, D)
             kernel = kernel * (1.0 - wm.astype(kernel.dtype))
+        if self.quant:
+            from diffusion_models_moe_tpu.ops.quant import int8_dot
+            return int8_dot(y, kernel) + bias.astype(self.dtype)
         return y @ kernel + bias.astype(self.dtype)
 
     def _sow_gate_stats(self, gate, tap: TapSpec, iv):
@@ -258,20 +301,23 @@ class BasicTransformerBlock(nn.Module):
     use_fused_routing: bool = True
     flash_attention: bool = True
     norm_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
         h = nn.LayerNorm(dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, dtype=self.dtype,
-                          flash=self.flash_attention, name="attn1")(h)
+                          flash=self.flash_attention, quant=self.quant,
+                          name="attn1")(h)
         h = nn.LayerNorm(dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
                           dtype=self.dtype, flash=self.flash_attention,
-                          name="attn2")(h, context)
+                          quant=self.quant, name="attn2")(h, context)
         h = nn.LayerNorm(dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
         x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
                                  ff_index=self.ff_index, dtype=self.dtype,
                                  use_fused_routing=self.use_fused_routing,
+                                 quant=self.quant,
                                  name="ff")(h, step_idx=step_idx, tap=tap, iv=iv)
         return x
 
@@ -294,6 +340,7 @@ class Transformer2D(nn.Module):
     use_fused_routing: bool = True
     flash_attention: bool = True
     norm_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, ivs=None):
@@ -301,7 +348,8 @@ class Transformer2D(nn.Module):
         residual = x
         y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                          dtype=self.norm_dtype, name="norm")(x).astype(self.dtype)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(y)
+        y = make_dense(self.dim, dtype=self.dtype, quant=self.quant,
+                       name="proj_in")(y)
         y = y.reshape(b, h * w, self.dim)
         for d in range(self.depth):
             ff_index = self.ff_index + d
@@ -313,9 +361,10 @@ class Transformer2D(nn.Module):
                 ff_mult=self.ff_mult, ff_activation=self.ff_activation,
                 dtype=self.dtype, use_fused_routing=self.use_fused_routing,
                 flash_attention=self.flash_attention,
-                norm_dtype=self.norm_dtype,
+                norm_dtype=self.norm_dtype, quant=self.quant,
                 name=f"transformer_blocks_{d}",
             )(y, context, step_idx=step_idx, tap=tap, iv=iv)
         y = y.reshape(b, h, w, self.dim)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(y)
+        y = make_dense(self.dim, dtype=self.dtype, quant=self.quant,
+                       name="proj_out")(y)
         return y + residual

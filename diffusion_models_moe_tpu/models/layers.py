@@ -44,6 +44,39 @@ class TimestepEmbedding(nn.Module):
         return emb
 
 
+class QuantConv(nn.Module):
+    """``nn.Conv``-compatible conv (same ``kernel``/``bias`` pytree and init)
+    running the int8 W8A8 path (`ops/quant.py`) — the opt-in serving mode."""
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: int = 1                       # symmetric spatial zero padding
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusion_models_moe_tpu.ops.quant import int8_conv
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        p = self.padding
+        y = int8_conv(x.astype(self.dtype), kernel.astype(self.dtype),
+                      strides=self.strides, padding=((p, p), (p, p)))
+        return y + bias.astype(self.dtype)
+
+
+def make_conv(features, kernel_size=(3, 3), *, strides=(1, 1), padding=1,
+              dtype=jnp.float32, quant=False, name=None):
+    """nn.Conv, or its int8 twin when `quant` (identical param tree either way)."""
+    if quant:
+        return QuantConv(features, kernel_size, strides=strides,
+                         padding=padding, dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   dtype=dtype, name=name)
+
+
 class ResnetBlock2D(nn.Module):
     """GN -> SiLU -> Conv -> (+time) -> GN -> SiLU -> Conv with skip."""
     out_channels: int
@@ -52,6 +85,7 @@ class ResnetBlock2D(nn.Module):
     use_time_emb: bool = True
     dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
@@ -59,8 +93,8 @@ class ResnetBlock2D(nn.Module):
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
                          dtype=self.norm_dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = make_conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                      quant=self.quant, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
@@ -68,27 +102,30 @@ class ResnetBlock2D(nn.Module):
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
                          dtype=self.norm_dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = make_conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                      quant=self.quant, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                               name="conv_shortcut")(residual)
+            residual = make_conv(self.out_channels, (1, 1), padding=0,
+                                 dtype=self.dtype, quant=self.quant,
+                                 name="conv_shortcut")(residual)
         return h + residual
 
 
 class Downsample2D(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return make_conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                         dtype=self.dtype, quant=self.quant, name="conv")(x)
 
 
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -96,5 +133,5 @@ class Upsample2D(nn.Module):
         # 2x nearest upsample as broadcast+reshape (cheaper than gather-resize)
         x = jnp.broadcast_to(x[:, :, None, :, None, :],
                              (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
-        return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return make_conv(self.out_channels, (3, 3), padding=1,
+                         dtype=self.dtype, quant=self.quant, name="conv")(x)

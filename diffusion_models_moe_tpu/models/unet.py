@@ -85,7 +85,8 @@ class UNet2DCondition(nn.Module):
                 norm_num_groups=cfg.norm_num_groups,
                 ff_mult=cfg.ff_mult, ff_activation=cfg.ff_activation,
                 dtype=dt, use_fused_routing=cfg.use_fused_routing,
-                flash_attention=cfg.flash_attention, norm_dtype=ndt, name=name)
+                flash_attention=cfg.flash_attention, norm_dtype=ndt,
+                quant=cfg.quant_int8, name=name)
 
         tkw = {} if do_remat else dict(step_idx=step_idx, tap=tap, ivs=ivs)
         ff_index = 0
@@ -97,7 +98,7 @@ class UNet2DCondition(nn.Module):
             out_ch = channels[i]
             for j in range(cfg.layers_per_block):
                 h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
-                               norm_dtype=ndt,
+                               norm_dtype=ndt, quant=cfg.quant_int8,
                                name=f"down_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"down_{i}_attn_{j}",
@@ -105,18 +106,19 @@ class UNet2DCondition(nn.Module):
                     ff_index += cfg.depth_for_block(i)
                 res_stack.append(h)
             if i < len(cfg.down_block_types) - 1:
-                h = Downsample2D(out_ch, dtype=dt, name=f"down_{i}_downsample")(h)
+                h = Downsample2D(out_ch, dtype=dt, quant=cfg.quant_int8,
+                                 name=f"down_{i}_downsample")(h)
                 res_stack.append(h)
 
         # --- mid ------------------------------------------------------------------
         mid_ch = channels[-1]
         h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
-                       name="mid_res_0")(h, temb)
+                       quant=cfg.quant_int8, name="mid_res_0")(h, temb)
         h = make_transformer(mid_ch, ff_index, "mid_attn_0",
                              len(channels) - 1)(h, context, **tkw)
         ff_index += cfg.depth_for_block(len(channels) - 1)
         h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
-                       name="mid_res_1")(h, temb)
+                       quant=cfg.quant_int8, name="mid_res_1")(h, temb)
 
         # --- up path ----------------------------------------------------------------
         rev_channels = list(reversed(channels))
@@ -126,14 +128,15 @@ class UNet2DCondition(nn.Module):
                 res = res_stack.pop()
                 h = jnp.concatenate([h, res], axis=-1)
                 h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
-                               norm_dtype=ndt,
+                               norm_dtype=ndt, quant=cfg.quant_int8,
                                name=f"up_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"up_{i}_attn_{j}",
                                          len(channels) - 1 - i)(h, context, **tkw)
                     ff_index += cfg.depth_for_block(len(channels) - 1 - i)
             if i < len(cfg.up_block_types) - 1:
-                h = Upsample2D(out_ch, dtype=dt, name=f"up_{i}_upsample")(h)
+                h = Upsample2D(out_ch, dtype=dt, quant=cfg.quant_int8,
+                               name=f"up_{i}_upsample")(h)
 
         # --- out -----------------------------------------------------------------
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
