@@ -11,3 +11,4 @@ from diffusion_models_moe_tpu.pipelines.stable_diffusion import (
 from diffusion_models_moe_tpu.pipelines.pixart import (
     PixArtPipeline, PixArtPipelineConfig, pixart_512_config,
     tiny_pixart_pipeline_config)
+from diffusion_models_moe_tpu.serving import ServingEngine, ServingStats

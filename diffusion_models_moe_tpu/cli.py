@@ -390,6 +390,50 @@ def _protocol_classifier(args, pipe, params, tokenize, clip_featurize):
     return make_clip_zero_shot_classifier(feat, np.stack(embs))
 
 
+def cmd_serve(args):
+    """Line-oriented serving loop over the batched engine (serving.py):
+    stdin lines `seed<TAB>prompt` (or just `prompt`), PNGs written to
+    --out-dir, one result line per request on stdout. A transport-agnostic
+    front door: wrap it in whatever RPC layer the deployment uses."""
+    import sys
+
+    pipe, params, tokenize = _load_pipe(args)
+    from diffusion_models_moe_tpu.serving import ServingEngine
+    ivs = None
+    if args.labels:
+        from diffusion_models_moe_tpu.moefication.moefy import (
+            build_moe_interventions, load_labels)
+        ivs = build_moe_interventions(load_labels(args.labels), args.topk)
+    os.makedirs(args.out_dir, exist_ok=True)
+    eng = ServingEngine(pipe, params, tokenize, batch_size=args.batch,
+                        num_steps=args.steps or 50, ivs=ivs,
+                        max_wait_ms=args.max_wait_ms)
+    n = 0
+    results = []
+    with eng:
+        pending = []
+        for line in sys.stdin:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            seed, _, prompt = line.partition("\t")
+            if not prompt:
+                seed, prompt = str(args.seed), seed
+            path = os.path.join(args.out_dir, f"img_{n:05d}.png")
+            pending.append((eng.submit(prompt, seed=int(seed)), path))
+            n += 1
+        from PIL import Image
+        for fut, path in pending:
+            Image.fromarray(fut.result()).save(path)
+            print(path, flush=True)
+            results.append(path)
+    print(json.dumps({"served": eng.stats.requests,
+                      "batches": eng.stats.batches,
+                      "mean_fill": round(eng.stats.mean_fill, 3),
+                      "images_per_second":
+                          round(eng.stats.images_per_second, 4)}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="diffusion_models_moe_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -418,6 +462,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--topk", type=float, default=0.3)
     sp.add_argument("--out", default="out.png")
     sp.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("serve"); common(sp)
+    sp.add_argument("--batch", type=int, default=8)
+    sp.add_argument("--max-wait-ms", type=float, default=50.0)
+    sp.add_argument("--labels", default=None)
+    sp.add_argument("--topk", type=float, default=0.3)
+    sp.add_argument("--out-dir", default="served")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("wanda"); common(sp, concept=True)
     sp.add_argument("--skill-ratio", type=float, default=0.05)

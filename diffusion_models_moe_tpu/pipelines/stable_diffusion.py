@@ -191,7 +191,8 @@ class StableDiffusionPipeline:
                  ivs: Optional[Interventions] = None,
                  text_ivs: Optional[Interventions] = None,
                  decode: bool = True,
-                 mesh=None):
+                 mesh=None,
+                 seeds=None):
         """End-to-end generation: ids -> images in [0, 1] (B, 8s, 8s, 3), plus taps.
 
         Matches the reference flow of `observe_activation` (hooked full pipeline
@@ -206,10 +207,17 @@ class StableDiffusionPipeline:
         attention heads, parallel/mesh.py rules) and XLA GSPMD inserts the ICI
         reduces; otherwise params replicate. Both modes are parity-tested
         against single-device output.
+
+        With `seeds` (a (B,) int array), each sample's initial noise is derived
+        from its own seed instead of the shared `key` — a request's output is
+        then independent of whatever it was co-batched with (the serving
+        engine's determinism contract, serving.py).
         """
         cfg = self.config
         num_steps = num_steps or cfg.num_inference_steps
         g = cfg.guidance_scale if guidance_scale is None else guidance_scale
+        if seeds is not None:
+            seeds = jnp.asarray(seeds, jnp.uint32)
         if mesh is not None:
             from diffusion_models_moe_tpu.parallel.mesh import (batch_sharding,
                                                                 param_shardings,
@@ -228,18 +236,21 @@ class StableDiffusionPipeline:
             else:
                 params = jax.device_put(params, rep)
             key = jax.device_put(key, rep)
+            if seeds is not None:
+                seeds = jax.device_put(seeds, batch_sharding(mesh, 1))
             if ivs is not None:
                 ivs = jax.device_put(ivs, rep)
             if text_ivs is not None:
                 text_ivs = jax.device_put(text_ivs, rep)
         fn = self._jitted_generate(num_steps, g, tap, decode,
-                                   ivs is not None, text_ivs is not None)
-        return fn(params, cond_ids, uncond_ids, key, ivs, text_ivs)
+                                   ivs is not None, text_ivs is not None,
+                                   seeds is not None)
+        return fn(params, cond_ids, uncond_ids, key, ivs, text_ivs, seeds)
 
     @functools.lru_cache(maxsize=32)
     def _jitted_generate(self, num_steps, guidance_scale, tap, decode,
-                         has_ivs, has_text_ivs):
-        def run(params, cond_ids, uncond_ids, key, ivs, text_ivs):
+                         has_ivs, has_text_ivs, has_seeds=False):
+        def run(params, cond_ids, uncond_ids, key, ivs, text_ivs, seeds):
             cfg = self.config
             b = cond_ids.shape[0]
             # text taps accumulate over BOTH encode passes: the reference's text
@@ -260,8 +271,15 @@ class StableDiffusionPipeline:
             else:
                 context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
             s = cfg.sample_size
-            latents = jax.random.normal(
-                key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
+            if seeds is not None:
+                # per-request noise: sample i depends only on seeds[i]
+                latents = jax.vmap(
+                    lambda sd: jax.random.normal(
+                        jax.random.PRNGKey(sd),
+                        (s, s, cfg.unet.sample_channels), jnp.float32))(seeds)
+            else:
+                latents = jax.random.normal(
+                    key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
             latents = latents * self.scheduler.init_noise_sigma
             key_lcm = jax.random.fold_in(key, 1)
             latents, taps = self.denoise(params, context, latents, num_steps,

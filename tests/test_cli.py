@@ -49,3 +49,14 @@ def test_cli_protocol_debias(tmp_path):
     res = json.load(open(out_dir / "debias_results.json"))
     assert len(res["per_profession"]) == 2
     assert 0.0 <= res["mean_abs_bias_after"] <= 0.5
+
+
+def test_cli_serve(tmp_path, monkeypatch, capsys):
+    import io
+    out_dir = tmp_path / "served"
+    monkeypatch.setattr("sys.stdin", io.StringIO("5\ta cat\na dog\n"))
+    main(["serve", "--cpu", "--batch", "2", "--steps", "2",
+          "--max-wait-ms", "200", "--out-dir", str(out_dir)])
+    assert len(list(out_dir.glob("img_*.png"))) == 2
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["served"] == 2

@@ -1,0 +1,78 @@
+"""Serving engine (serving.py) + per-request seed determinism.
+
+The engine's contract: a request's image depends only on (prompt, seed,
+engine config) — never on which other requests shared its micro-batch and
+never on padding. Checked end-to-end on the tiny pipeline."""
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+from diffusion_models_moe_tpu.serving import ServingEngine
+
+
+def _make():
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    cfg = pipe.config.text_encoder
+
+    def tokenize(texts):
+        out = []
+        for t in texts:
+            h = int(hashlib.md5(t.encode()).hexdigest(), 16) % (2 ** 31)
+            out.append(np.asarray(jax.random.randint(
+                jax.random.PRNGKey(h), (cfg.max_length,), 0, cfg.vocab_size)))
+        return np.stack(out)
+
+    return pipe, params, tokenize
+
+
+def test_per_sample_seeds_are_batch_independent():
+    pipe, params, tokenize = _make()
+    ids = jnp.asarray(tokenize(["a", "b"]))
+    un = jnp.asarray(tokenize(["", ""]))
+    key = jax.random.PRNGKey(0)
+    lat1, _ = pipe.generate(params, ids, un, key, num_steps=2, decode=False,
+                            seeds=np.asarray([7, 3]))
+    lat2, _ = pipe.generate(params, ids, un, jax.random.PRNGKey(99),
+                            num_steps=2, decode=False,
+                            seeds=np.asarray([7, 1000]))
+    # sample 0 (same prompt, same seed) identical despite different key and
+    # different co-batched seed
+    np.testing.assert_array_equal(np.asarray(lat1[0]), np.asarray(lat2[0]))
+    # different seeds differ
+    assert np.abs(np.asarray(lat1[1]) - np.asarray(lat2[1])).max() > 1e-3
+
+
+def test_serving_engine_end_to_end():
+    pipe, params, tokenize = _make()
+    eng = ServingEngine(pipe, params, tokenize, batch_size=4, num_steps=2,
+                        max_wait_ms=200.0)
+    with eng:
+        futs = [eng.submit(f"prompt {i}", seed=i) for i in range(6)]
+        imgs = [f.result(timeout=600) for f in futs]
+    assert all(im.shape == imgs[0].shape and im.dtype == np.uint8
+               for im in imgs)
+    assert eng.stats.requests == 6
+    assert eng.stats.batches >= 2
+    assert 0.0 < eng.stats.mean_fill <= 1.0
+
+
+def test_serving_result_independent_of_cobatching():
+    pipe, params, tokenize = _make()
+    eng = ServingEngine(pipe, params, tokenize, batch_size=4, num_steps=2,
+                        max_wait_ms=200.0)
+    with eng:
+        solo = eng.submit("the probe prompt", seed=42).result(timeout=600)
+    eng2 = ServingEngine(pipe, params, tokenize, batch_size=4, num_steps=2,
+                         max_wait_ms=500.0)
+    with eng2:
+        futs = [eng2.submit("other prompt a", seed=1),
+                eng2.submit("the probe prompt", seed=42),
+                eng2.submit("other prompt b", seed=2)]
+        crowded = futs[1].result(timeout=600)
+        for f in (futs[0], futs[2]):
+            f.result(timeout=600)
+    np.testing.assert_array_equal(solo, crowded)
