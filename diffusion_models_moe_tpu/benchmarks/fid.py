@@ -10,6 +10,7 @@ streamingly, so 30k-image protocols never hold features in host memory.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,11 @@ class FeatureStats:
 def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     """FD = |mu1-mu2|^2 + tr(C1 + C2 - 2 sqrt(C1 C2))."""
     diff = mu1 - mu2
-    covmean = scipy.linalg.sqrtm(cov1 @ cov2)
+    with warnings.catch_warnings():
+        # scipy warns (LinAlgWarning) on singular products before we get a
+        # chance to apply the standard eps-offset retry below; silence it
+        warnings.simplefilter("ignore")
+        covmean = scipy.linalg.sqrtm(cov1 @ cov2)
     if not np.isfinite(covmean).all():
         offset = np.eye(cov1.shape[0]) * eps
         covmean = scipy.linalg.sqrtm((cov1 + offset) @ (cov2 + offset))

@@ -93,6 +93,9 @@ def balanced_kmeans(x: np.ndarray, n_clusters: int, *, n_iter: int = 25,
             # (NaNs appear when the annealed eps underflows every logit) and
             # clamp BEFORE the log so no divide-by-zero/invalid warnings fire
             plan = np.nan_to_num(plan, nan=0.0, posinf=0.0, neginf=0.0)
+            # float64: in float32 the 1e-300 floor underflows to 0 and the
+            # log(0) warning this clamp exists to prevent fires anyway
+            plan = plan.astype(np.float64)
             new_labels = _greedy_balanced_assign(
                 -np.log(np.clip(plan, 1e-300, None)), size)
         elif method == "greedy":
