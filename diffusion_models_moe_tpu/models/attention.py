@@ -46,6 +46,30 @@ def make_dense(features, *, use_bias=True, dtype=jnp.float32, quant=False,
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
+class _DGOutProj(nn.Module):
+    """Output projection consuming the 4D (B, S, heads, d) attention output via
+    one `dot_general` contracting (heads, d) — param-compatible with
+    ``nn.Dense(name='to_out')`` (same 2D ``kernel``/``bias``). Skips the
+    reshape-to-(B,S,C) step whose relayout XLA otherwise has to schedule
+    around the flash custom-call's (B, heads, S, d) layout. Measured on v5e
+    (headline bench): 1.0553 -> 1.0705 img/s, so it defaults ON on TPU;
+    DMOE_ATTN_DG=0 restores the Dense path (bitwise-identical params, outputs
+    equal — tests/test_parallel_and_kernels.py)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, out4):
+        b, s, h, d = out4.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (h * d, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k3 = kernel.reshape(h, d, self.features).astype(self.dtype)
+        y = jax.lax.dot_general(out4, k3, (((2, 3), (0, 1)), ((), ())))
+        return y + bias.astype(self.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head (self or cross) attention.
 
@@ -81,6 +105,11 @@ class Attention(nn.Module):
                                  sm_scale=1.0 / (head_dim ** 0.5),
                                  kv_valid=context.shape[1],
                                  enabled=self.flash)
+        import os
+        dg_default = "1" if jax.default_backend() == "tpu" else "0"
+        if os.environ.get("DMOE_ATTN_DG", dg_default) == "1" and not self.quant:
+            return _DGOutProj(self.query_dim, dtype=self.dtype,
+                              name="to_out")(out)
         out = out.reshape(x.shape[0], x.shape[1], self.query_dim)
         return make_dense(self.query_dim, dtype=self.dtype, quant=self.quant,
                           name="to_out")(out)
@@ -305,15 +334,19 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
+        from diffusion_models_moe_tpu.models.layers import maybe_barrier
         h = nn.LayerNorm(dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, dtype=self.dtype,
                           flash=self.flash_attention, quant=self.quant,
-                          name="attn1")(h)
+                          name="attn1")(maybe_barrier(h, "DMOE_LN_BARRIER"))
         h = nn.LayerNorm(dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
                           dtype=self.dtype, flash=self.flash_attention,
-                          quant=self.quant, name="attn2")(h, context)
+                          quant=self.quant,
+                          name="attn2")(maybe_barrier(h, "DMOE_LN_BARRIER"),
+                                        context)
         h = nn.LayerNorm(dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
+        h = maybe_barrier(h, "DMOE_LN_BARRIER")
         x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
                                  ff_index=self.ff_index, dtype=self.dtype,
                                  use_fused_routing=self.use_fused_routing,

@@ -99,7 +99,11 @@ def _splash_kernel(s: int, h: int):
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk, splash_attention_mask as sm)
     mask = sm.MultiHeadMask([sm.FullMask((s, s))] * h)
-    return sk.make_splash_mha_single_device(mask=mask)
+    # The factory materializes mask-info with jnp.array; the kernel is cached
+    # across jit traces, so those arrays must be concrete, not trace-local
+    # constants (otherwise the second trace hits an UnexpectedTracerError).
+    with jax.ensure_compile_time_eval():
+        return sk.make_splash_mha_single_device(mask=mask)
 
 
 def splash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -127,7 +131,10 @@ def attention_dispatch(q, k, v, *, is_self: bool, sm_scale: float,
                    hand-rolled self-attention loses to the stock kernel)
       custom-cross stock flash self + fused custom cross (measured 0.584)
       custom-self  custom self + XLA cross
-      splash       splash-attention for self (native head dims, no pad)"""
+      splash       splash-attention for self (native head dims, no pad;
+                   measured 0.304 img/s with default blocks — the vmapped
+                   per-batch launches + f32 output lose far more than the
+                   head-dim padding costs; kept for reference)"""
     impl = os.environ.get("DMOE_FLASH_IMPL", "jax")
     s_q, s_kv = q.shape[1], k.shape[1]
     long_q = enabled and s_q >= 256 and s_q % 128 == 0 \

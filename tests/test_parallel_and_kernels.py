@@ -246,3 +246,35 @@ def test_init_multihost_single_process_noop():
     assert info["process_count"] == 1 and info["process_index"] == 0
     assert info["global_devices"] >= 8      # virtual CPU mesh from conftest
     assert is_coordinator()
+
+
+def test_dg_out_projection_matches_dense(monkeypatch):
+    """DMOE_ATTN_DG=1 (4D dot_general output projection, skips the post-flash
+    reshape relayout) is numerically identical to the Dense path and uses the
+    same param tree."""
+    from diffusion_models_moe_tpu.models.attention import Attention
+    attn = Attention(query_dim=64, heads=4, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64), jnp.float32)
+    monkeypatch.delenv("DMOE_ATTN_DG", raising=False)
+    params = attn.init(jax.random.PRNGKey(1), x)
+    y0 = attn.apply(params, x)
+    monkeypatch.setenv("DMOE_ATTN_DG", "1")
+    y1 = attn.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_conv_barrier_flag_is_semantics_preserving(monkeypatch):
+    """The GN+SiLU->conv optimization barrier (TPU default) only affects
+    fusion; outputs are identical with it forced on."""
+    from diffusion_models_moe_tpu.models.layers import ResnetBlock2D
+    blk = ResnetBlock2D(out_channels=8, norm_num_groups=2, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 6, 6, 8), jnp.float32)
+    temb = jnp.asarray(np.random.RandomState(1).randn(1, 16), jnp.float32)
+    monkeypatch.setenv("DMOE_CONV_BARRIER", "0")
+    params = blk.init(jax.random.PRNGKey(0), x, temb)
+    y0 = blk.apply(params, x, temb)
+    monkeypatch.setenv("DMOE_CONV_BARRIER", "1")
+    y1 = blk.apply(params, x, temb)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=1e-6, rtol=1e-6)
