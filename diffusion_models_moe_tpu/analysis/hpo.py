@@ -78,12 +78,16 @@ class Study:
         ranked by log l(x) - log g(x), independently per dimension."""
         rng = np.random.RandomState(seed)
 
+        def bandwidth(centers: np.ndarray, lo: float, hi: float) -> float:
+            # Fixed-fraction-of-range bandwidth shrunk by sample count
+            # (Optuna-style magic constants not replicated; behavior-equivalent
+            # density ranking is what matters here). Shared by the Parzen
+            # density and the candidate sampler so they can't drift apart.
+            return max((hi - lo) / 5.0 / max(len(centers), 1) ** 0.5, 1e-12)
+
         def log_kde(x: float, centers: np.ndarray, lo: float, hi: float
                     ) -> float:
-            # Parzen mixture with a fixed-fraction-of-range bandwidth shrunk
-            # by sample count (Optuna-style magic constants not replicated;
-            # behavior-equivalent density ranking is what matters here)
-            sigma = max((hi - lo) / 5.0 / max(len(centers), 1) ** 0.5, 1e-12)
+            sigma = bandwidth(centers, lo, hi)
             z = (x - centers) / sigma
             return float(np.log(np.mean(np.exp(-0.5 * z * z)) /
                                 (sigma * np.sqrt(2 * np.pi)) + 1e-300))
@@ -101,8 +105,7 @@ class Study:
                 for k, (lo, hi) in space.items():
                     g_centers = np.asarray([t.params[k] for t in good])
                     b_centers = np.asarray([t.params[k] for t in bad])
-                    sigma = max((hi - lo) / 5.0 / len(g_centers) ** 0.5,
-                                1e-12)
+                    sigma = bandwidth(g_centers, lo, hi)
                     cands = np.clip(
                         g_centers[rng.randint(len(g_centers), size=n_candidates)]
                         + rng.randn(n_candidates) * sigma, lo, hi)

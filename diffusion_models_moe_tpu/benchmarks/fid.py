@@ -46,8 +46,9 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     diff = mu1 - mu2
     with warnings.catch_warnings():
         # scipy warns (LinAlgWarning) on singular products before we get a
-        # chance to apply the standard eps-offset retry below; silence it
-        warnings.simplefilter("ignore")
+        # chance to apply the standard eps-offset retry below; silence only
+        # that category — anything else should still surface
+        warnings.simplefilter("ignore", scipy.linalg.LinAlgWarning)
         covmean = scipy.linalg.sqrtm(cov1 @ cov2)
     if not np.isfinite(covmean).all():
         offset = np.eye(cov1.shape[0]) * eps

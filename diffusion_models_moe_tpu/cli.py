@@ -408,25 +408,50 @@ def cmd_serve(args):
     eng = ServingEngine(pipe, params, tokenize, batch_size=args.batch,
                         num_steps=args.steps or 50, ivs=ivs,
                         max_wait_ms=args.max_wait_ms)
+    import queue as _queue
+    import threading
+
+    from PIL import Image
+
+    # Results stream as they complete (a request/response client must not wait
+    # for stdin EOF), and completed images never accumulate unboundedly: the
+    # writer drains futures in submit order while stdin is still open.
+    done_q: "_queue.Queue" = _queue.Queue()
+
+    def _writer():
+        while True:
+            item = done_q.get()
+            if item is None:
+                return
+            fut, path = item
+            try:
+                Image.fromarray(fut.result()).save(path)
+                print(path, flush=True)
+            except Exception as e:
+                print(f"ERROR {path}: {e}", flush=True)
+
     n = 0
-    results = []
     with eng:
-        pending = []
+        wt = threading.Thread(target=_writer, daemon=True)
+        wt.start()
         for line in sys.stdin:
             line = line.rstrip("\n")
             if not line:
                 continue
-            seed, _, prompt = line.partition("\t")
+            seed_s, _, prompt = line.partition("\t")
             if not prompt:
-                seed, prompt = str(args.seed), seed
+                seed_s, prompt = str(args.seed), seed_s
+            try:
+                seed = int(seed_s)
+            except ValueError:
+                print(f"ERROR bad seed {seed_s!r} (line: {line[:80]!r})",
+                      flush=True)
+                continue
             path = os.path.join(args.out_dir, f"img_{n:05d}.png")
-            pending.append((eng.submit(prompt, seed=int(seed)), path))
+            done_q.put((eng.submit(prompt, seed=seed), path))
             n += 1
-        from PIL import Image
-        for fut, path in pending:
-            Image.fromarray(fut.result()).save(path)
-            print(path, flush=True)
-            results.append(path)
+        done_q.put(None)
+        wt.join()
     print(json.dumps({"served": eng.stats.requests,
                       "batches": eng.stats.batches,
                       "mean_fill": round(eng.stats.mean_fill, 3),

@@ -281,7 +281,14 @@ class StableDiffusionPipeline:
                 latents = jax.random.normal(
                     key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
             latents = latents * self.scheduler.init_noise_sigma
-            key_lcm = jax.random.fold_in(key, 1)
+            if seeds is not None:
+                # per-request LCM noise: each sample's injected noise derives
+                # from its own seed, so co-batching can't change its image
+                key_lcm = jax.vmap(
+                    lambda sd: jax.random.fold_in(jax.random.PRNGKey(sd),
+                                                  1))(seeds)
+            else:
+                key_lcm = jax.random.fold_in(key, 1)
             latents, taps = self.denoise(params, context, latents, num_steps,
                                          guidance_scale, tap, ivs, key=key_lcm)
             if text_taps:

@@ -67,7 +67,17 @@ class LCMScheduler:
         return jnp.asarray(ts.astype(np.int32)), coeffs, None
 
     def init_state(self, sample_shape, key=None) -> LCMState:
-        return LCMState(key=key if key is not None else jax.random.PRNGKey(0))
+        """Carries one PRNG key PER SAMPLE so injected noise depends only on
+        that sample's key, never on its batch slot (the serving engine's
+        per-request determinism contract). A single (2,)-shaped key is
+        broadcast by fold_in over the batch axis; a (B, 2) array (e.g. derived
+        from per-request seeds) is used as-is."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if key.ndim == 1:
+            b = sample_shape[0]
+            key = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+        return LCMState(key=key)
 
     def scale_model_input(self, coeffs, i, sample):
         return sample
@@ -76,8 +86,11 @@ class LCMScheduler:
              sample: jax.Array):
         x0 = (sample - coeffs["sqrt_1m_a_t"][i] * eps) / coeffs["sqrt_a_t"][i]
         denoised = coeffs["c_out"][i] * x0 + coeffs["c_skip"][i] * sample
-        key, sub = jax.random.split(state.key)
-        noise = jax.random.normal(sub, sample.shape, sample.dtype)
+        split = jax.vmap(jax.random.split)(state.key)       # (B, 2, 2)
+        key, subs = split[:, 0], split[:, 1]
+        noise = jax.vmap(
+            lambda kk: jax.random.normal(kk, sample.shape[1:],
+                                         sample.dtype))(subs)
         noisy = (coeffs["sqrt_a_prev"][i] * denoised
                  + coeffs["sqrt_1m_a_prev"][i] * noise)
         prev = jnp.where(coeffs["is_last"][i] > 0, denoised, noisy)

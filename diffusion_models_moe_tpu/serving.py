@@ -92,6 +92,7 @@ class ServingEngine:
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._lifecycle = threading.Lock()   # serializes submit vs stop
         self._uncond = np.asarray(tokenize([""]))
 
     # -- lifecycle ---------------------------------------------------------
@@ -110,17 +111,20 @@ class ServingEngine:
             return
         if drain:
             self._queue.join()
-        self._stop.set()
-        self._thread.join()
-        self._thread = None
-        # fail anything that raced in after the drain
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            req.future.set_exception(RuntimeError("engine stopped"))
-            self._queue.task_done()
+        # the lock closes the submit/stop race: no submit can pass the
+        # "engine not started" check and enqueue after the drain sweep below
+        with self._lifecycle:
+            self._stop.set()
+            self._thread.join()
+            self._thread = None
+            # fail anything that raced in after the drain
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                req.future.set_exception(RuntimeError("engine stopped"))
+                self._queue.task_done()
 
     def __enter__(self) -> "ServingEngine":
         return self.start()
@@ -132,10 +136,11 @@ class ServingEngine:
     def submit(self, prompt: str, seed: int = 0,
                timeout: Optional[float] = None) -> Future:
         """Enqueue one request; blocks when `queue_size` requests behind."""
-        if self._thread is None:
-            raise RuntimeError("engine not started")
-        fut: Future = Future()
-        self._queue.put(_Request(prompt, seed, fut), timeout=timeout)
+        with self._lifecycle:
+            if self._thread is None:
+                raise RuntimeError("engine not started")
+            fut: Future = Future()
+            self._queue.put(_Request(prompt, seed, fut), timeout=timeout)
         return fut
 
     def generate_sync(self, prompts: Sequence[str],
@@ -194,8 +199,9 @@ class ServingEngine:
             num_steps=self.num_steps, guidance_scale=self.guidance_scale,
             ivs=self.ivs, mesh=self.mesh, seeds=seeds, decode=self.decode)
         if self.decode:
-            imgs = np.asarray(jax.device_get(
-                jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.uint8)))
+            from diffusion_models_moe_tpu.pipelines.stable_diffusion import (
+                _to_uint8)
+            imgs = np.asarray(jax.device_get(_to_uint8(imgs)))
         else:
             imgs = np.asarray(jax.device_get(imgs))
         dt = time.monotonic() - t0
@@ -204,4 +210,7 @@ class ServingEngine:
         self.stats.padded_slots += b - n_real
         self.stats.total_batch_seconds += dt
         for i, req in enumerate(batch):
-            req.future.set_result(imgs[i])
+            # a client may have cancel()ed the pending future; set_result on a
+            # cancelled future raises and would poison the rest of the batch
+            if req.future.set_running_or_notify_cancel():
+                req.future.set_result(imgs[i])

@@ -76,3 +76,28 @@ def test_serving_result_independent_of_cobatching():
         for f in (futs[0], futs[2]):
             f.result(timeout=600)
     np.testing.assert_array_equal(solo, crowded)
+
+
+def test_lcm_per_sample_seeds_are_batch_independent():
+    """LCM injects fresh noise per step; that noise must also derive from the
+    sample's own seed, not its batch slot or the shared key (the code-review
+    hole: schedulers/lcm.py used one key for the whole batch)."""
+    import dataclasses
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, scheduler="lcm",
+        unet=dataclasses.replace(cfg.unet, time_cond_proj_dim=32))
+    pipe = StableDiffusionPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    _, _, tokenize = _make()
+    ids = jnp.asarray(tokenize(["a", "b"]))
+    un = jnp.asarray(tokenize(["", ""]))
+    lat1, _ = pipe.generate(params, ids, un, jax.random.PRNGKey(0),
+                            num_steps=3, decode=False,
+                            seeds=np.asarray([7, 3]))
+    # same request in the OTHER slot, different shared key and co-batched seed
+    ids_sw = jnp.asarray(tokenize(["b", "a"]))
+    lat2, _ = pipe.generate(params, ids_sw, un, jax.random.PRNGKey(99),
+                            num_steps=3, decode=False,
+                            seeds=np.asarray([1000, 7]))
+    np.testing.assert_array_equal(np.asarray(lat1[0]), np.asarray(lat2[1]))
