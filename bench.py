@@ -76,8 +76,9 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
     os.environ.setdefault("DMOE_FLASH_BLOCKS", "1024,1024")
     cfg = sd15_config(dtype=jnp.bfloat16)
     unet = dataclasses.replace(cfg.unet, flash_attention=flash)
-    if os.environ.get("DMOE_FUSED", "1") == "0":
-        unet = dataclasses.replace(unet, use_fused_routing=False)
+    if os.environ.get("DMOE_FUSED", "") in ("0", "1"):
+        unet = dataclasses.replace(
+            unet, use_fused_routing=os.environ["DMOE_FUSED"] == "1")
     if os.environ.get("DMOE_FAST_NORM", "0") == "1":
         unet = dataclasses.replace(unet, fast_norm=True)
     quant = os.environ.get("DMOE_QUANT", "0") == "1"

@@ -121,9 +121,12 @@ class _GEGLUProj(nn.Module):
     unchanged) but optionally computed as two H-wide matmuls. The fused 2H-wide dot's
     output cannot epilogue-fuse the downstream ``gelu(gate)*hidden`` product, so XLA
     round-trips the 2H activation through HBM; two H-wide dots each keep their half
-    fusable. Measured on v5e (batch 16): +12.7% FF time at d=320/s=4096, +6.5% at
-    d=640/s=1024, -2.2% at d=1280/s=256 — hence the dim<=640 default heuristic in
-    :class:`GEGLUFeedForward`."""
+    fusable. Measured on v5e (batch 16), pre-layout-fixes: +12.7% FF time at
+    d=320/s=4096, +6.5% at d=640/s=1024, -2.2% at d=1280/s=256 (hence the old
+    dim<=640 heuristic); after the conv-barrier + dot_general layout changes the
+    full-bench sweep read split-always 1.0747 vs heuristic 1.0705 vs never 1.0428
+    img/s, so split is now the default everywhere (DMOE_SPLIT_PROJ=0 restores the
+    fused dot)."""
     features: int            # 2 * hidden_dim
     split: bool = False
     dtype: Any = jnp.float32
@@ -183,8 +186,7 @@ class GEGLUFeedForward(nn.Module):
 
         if gated:
             import os
-            env = os.environ.get("DMOE_SPLIT_PROJ", "")
-            split = self.dim <= 640 if env == "" else env == "1"
+            split = os.environ.get("DMOE_SPLIT_PROJ", "1") == "1"
             hidden, gate = _GEGLUProj(2 * hidden_dim, split=split,
                                       dtype=self.dtype, quant=self.quant,
                                       name="proj")(x)
@@ -345,6 +347,7 @@ class BasicTransformerBlock(nn.Module):
                           quant=self.quant,
                           name="attn2")(maybe_barrier(h, "DMOE_LN_BARRIER"),
                                         context)
+        x = maybe_barrier(x, "DMOE_RESID_BARRIER")
         h = nn.LayerNorm(dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
         h = maybe_barrier(h, "DMOE_LN_BARRIER")
         x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,

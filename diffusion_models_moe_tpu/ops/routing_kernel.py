@@ -18,6 +18,14 @@ taps.routing_mask).
 
 Constraint: patterns must partition neurons (each neuron in exactly one expert),
 which MoEfication clustering guarantees (reference: moefication/helper.py:48-62).
+
+Measured reality check (v5e headline bench, batch 8): the XLA fallback routing
+(score matmul + lax.top_k sort + mask) reads 1.0705 img/s vs 0.9758 with this
+kernel — XLA's version fuses into the surrounding S-minor activation layouts
+while the pallas_call forces (N, H) default-layout relayouts at its boundary.
+`UNetConfig.use_fused_routing` therefore defaults to False; the kernel stays as
+a parity-tested alternative (and the right starting point if routing ever
+dominates, e.g. much larger expert counts).
 """
 from __future__ import annotations
 
