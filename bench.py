@@ -24,8 +24,10 @@ Resilience (round-1 postmortem, BENCH_r01.json rc=1 kernel fault):
    "degraded": true ("fallback" records the leg either way);
  - a JSON line is always emitted, even on total failure (value 0.0 + "error").
 
-Env knobs: DMOE_FLASH=0 (disable flash), DMOE_FUSED=0 (XLA routing instead of the
-Pallas kernel), DMOE_NO_MOE=1 (plain SD, for routing-overhead A/B),
+Env knobs: DMOE_FLASH=0 (disable flash), DMOE_FUSED=1/0 (force the Pallas
+routing kernel on/off; default follows the config — OFF, since the XLA
+sort-based routing measured faster: 1.0705 vs 0.9758 img/s),
+DMOE_NO_MOE=1 (plain SD, for routing-overhead A/B),
 DMOE_FAST_NORM=1, DMOE_FLASH_BLOCKS=bq,bk, DMOE_DP=1 (shard the batch over all
 local devices with a ('dp',) mesh).
 """
@@ -197,3 +199,7 @@ if __name__ == "__main__":
                 "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
                 "degraded": True, "error": f"{type(e).__name__}: {str(e)[:300]}",
             }), flush=True)
+        # propagate failure: a fallback LEG that crashed must exit nonzero or
+        # the parent's returncode==0 check would treat it as success and stop
+        # the chain early (and callers could not script against the bench)
+        sys.exit(rc)

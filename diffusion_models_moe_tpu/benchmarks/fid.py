@@ -86,14 +86,35 @@ def make_inception_featurizer(params, cfg=None):
 def load_inception_featurizer(weights_path: str):
     """make_inception_featurizer from a torchvision/torch-fidelity state dict
     on disk (.pt/.pth via torch, or .npz of the same keys)."""
-    from diffusion_models_moe_tpu.weights.port_torchvision import port_inception
-    if weights_path.endswith(".npz"):
-        sd = dict(np.load(weights_path))
-    else:
-        import torch
-        sd = torch.load(weights_path, map_location="cpu")
-        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-    return make_inception_featurizer(port_inception(sd))
+    from diffusion_models_moe_tpu.weights.port_torchvision import (
+        load_state_dict, port_inception)
+    return make_inception_featurizer(port_inception(
+        load_state_dict(weights_path)))
+
+
+def make_clip_text_featurizer(text_encoder, text_params, tokenize,
+                              text_projection=None):
+    """prompts -> (N, D) CLIP text embeddings in the joint space of the
+    matching `make_clip_featurizer` vision tower (used by the artist-removal
+    accuracy: cos(text, orig) > cos(text, removed); reference:
+    benchmarks/artist_removal.py:180-199). `text_projection` is the full CLIP
+    model's text_projection matrix (port_clip_text_projection); without it the
+    pooled hidden state is returned, which is only meaningful against a vision
+    tower in the same (unprojected) space."""
+    from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+        pooled_text_embedding)
+
+    def featurize(prompts):
+        ids = jnp.asarray(np.asarray(tokenize(list(prompts))))
+        hidden = text_encoder.apply({"params": text_params}, ids)
+        if isinstance(hidden, tuple):
+            hidden = hidden[0]
+        proj = (jnp.asarray(text_projection) if text_projection is not None
+                else jnp.eye(hidden.shape[-1], dtype=hidden.dtype))
+        return np.asarray(jax.device_get(
+            pooled_text_embedding(hidden.astype(jnp.float32), ids, proj)))
+
+    return featurize
 
 
 def make_clip_featurizer(vision_encoder, vision_params):

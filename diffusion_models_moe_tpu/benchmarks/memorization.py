@@ -47,15 +47,10 @@ def make_native_sscd(weights_path: str, batch: int = 32) -> Embedder:
     from diffusion_models_moe_tpu.models.backbones import (ResNetConfig,
                                                            preprocess_imagenet,
                                                            sscd_embed)
-    from diffusion_models_moe_tpu.weights.port_torchvision import port_sscd
+    from diffusion_models_moe_tpu.weights.port_torchvision import (
+        load_state_dict, port_sscd)
 
-    if weights_path.endswith(".npz"):
-        sd = dict(np.load(weights_path))
-    else:
-        import torch
-        obj = torch.load(weights_path, map_location="cpu")
-        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    sd = load_state_dict(weights_path)
     cfg = ResNetConfig()
     params = port_sscd(sd, cfg)
     fwd = jax.jit(lambda p, x: sscd_embed(p, preprocess_imagenet(x), cfg))

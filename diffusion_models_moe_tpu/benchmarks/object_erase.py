@@ -80,14 +80,10 @@ def make_resnet_classifier(weights_path: str, num_classes: int = 1000,
 
     from diffusion_models_moe_tpu.models.backbones import (
         preprocess_imagenet, resnet50_config, resnet_logits)
-    from diffusion_models_moe_tpu.weights.port_torchvision import port_resnet
+    from diffusion_models_moe_tpu.weights.port_torchvision import (
+        load_state_dict, port_resnet)
 
-    if weights_path.endswith(".npz"):
-        sd = dict(np.load(weights_path))
-    else:
-        import torch
-        sd = torch.load(weights_path, map_location="cpu")
-        sd = sd.get("state_dict", sd)
+    sd = load_state_dict(weights_path)
     cfg = resnet50_config(num_classes)
     params = port_resnet(sd, cfg)
     fwd = jax.jit(lambda p, x: resnet_logits(p, preprocess_imagenet(x), cfg))

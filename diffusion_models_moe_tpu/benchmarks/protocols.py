@@ -136,10 +136,18 @@ def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
                             n_artists: int = 100, part: int = 1, ivs=None,
                             limit: Optional[int] = None, num_steps: int = 50,
                             batch_size: int = 4, seed: int = 0,
-                            mesh=None) -> dict:
+                            mesh=None, text_featurize=None) -> dict:
     """Artist-style removal: per-artist style prompts from the shipped
     {n}artists lists, CLIP image-image similarity of baseline vs removed and
-    removal accuracy (reference: benchmarks/artist_removal.py:59-70,180-210)."""
+    removal accuracy (reference: benchmarks/artist_removal.py:59-70,180-210).
+
+    The reference's accuracy is mean(cos(text, orig) > cos(text, removed)) —
+    the style prompt should match the BASELINE image better than the removed
+    one. That needs prompt text embeddings: pass `text_featurize`
+    (prompts -> (N, D) CLIP text embeddings in the same space as `featurize`).
+    Without it only the image-image similarity is reported and
+    `removal_accuracy` is None (a 1-vs-similarity comparison would read ~1.0
+    for ANY intervention that changes pixels, which measures nothing)."""
     from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
         image_image_similarity, removal_accuracy)
 
@@ -161,11 +169,14 @@ def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
 
     fb, fr = l2n(featurize(base)), l2n(featurize(removed))
     sim = np.asarray(image_image_similarity(fb, fr))
-    # accuracy convention: removal succeeded when removed drifts from baseline
-    # more than baseline self-similarity (== 1), so report the mean drop
+    acc = None
+    if text_featurize is not None:
+        ft = l2n(text_featurize(prompts))
+        sim_orig = np.sum(ft * fb, axis=-1)
+        sim_removed = np.sum(ft * fr, axis=-1)
+        acc = float(removal_accuracy(sim_orig, sim_removed))
     result = {"mean_similarity": float(sim.mean()),
-              "removal_accuracy": float(removal_accuracy(
-                  np.ones_like(sim), sim)),
+              "removal_accuracy": acc,
               "n_artists": len(prompts)}
     with open(os.path.join(out_dir, "artist_removal_results.json"), "w") as f:
         json.dump(result, f)

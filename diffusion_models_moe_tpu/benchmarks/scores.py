@@ -61,16 +61,11 @@ def load_native_lpips(alexnet_path: str, lins_path: str) -> Callable:
     same keys. Replaces the host-side lpips package with an on-device metric;
     only the weight files stay external."""
     from diffusion_models_moe_tpu.models.backbones import make_lpips_fn
-    from diffusion_models_moe_tpu.weights.port_torchvision import port_lpips
+    from diffusion_models_moe_tpu.weights.port_torchvision import (
+        load_state_dict, port_lpips)
 
-    def _load(path: str) -> dict:
-        if path.endswith(".npz"):
-            return dict(np.load(path))
-        import torch
-        sd = torch.load(path, map_location="cpu")
-        return sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-
-    return make_lpips_fn(port_lpips(_load(alexnet_path), _load(lins_path)))
+    return make_lpips_fn(port_lpips(load_state_dict(alexnet_path),
+                                    load_state_dict(lins_path)))
 
 
 def load_lpips(net: str = "alex") -> Callable:

@@ -260,6 +260,10 @@ def cmd_score_dirs(args):
                       )["params"]
         featurize = make_clip_featurizer(enc, vp)
     fid = fid_between_dirs(args.a_dir, args.b_dir, featurize)
+    if bool(args.lpips_alexnet) != bool(args.lpips_lins):
+        # one flag alone would silently fall back to the CLIP-distance metric
+        # the user did not ask for
+        raise SystemExit("LPIPS needs BOTH --lpips-alexnet and --lpips-lins")
     if args.lpips_alexnet and args.lpips_lins:
         from diffusion_models_moe_tpu.benchmarks.scores import load_native_lpips
         dist = load_native_lpips(args.lpips_alexnet, args.lpips_lins)
@@ -321,10 +325,26 @@ def cmd_protocol(args):
             pipe, params, tokenize, args.out_dir, feat,
             split=args.split if args.split != "" else "", **common)
     elif args.name == "artists":
+        text_feat = None
+        if args.clip_snapshot:
+            # full CLIPModel snapshot: build the text tower + projection so
+            # removal accuracy uses the reference's cos(text, image) protocol
+            from diffusion_models_moe_tpu.benchmarks.fid import (
+                make_clip_text_featurizer)
+            from diffusion_models_moe_tpu.models.clip_text import (
+                CLIPTextEncoder)
+            from diffusion_models_moe_tpu.weights.port import port_clip_text
+            from diffusion_models_moe_tpu.weights.port_vision import (
+                clip_b32_text_config, port_clip_text_projection)
+            tcfg = clip_b32_text_config()
+            tparams = port_clip_text(args.clip_snapshot, tcfg)
+            tproj = port_clip_text_projection(args.clip_snapshot)
+            text_feat = make_clip_text_featurizer(
+                CLIPTextEncoder(tcfg), tparams, tokenize, tproj)
         out = proto.artist_removal_protocol(
             pipe, params, tokenize, args.out_dir, clip_featurize(),
             n_artists=args.n_artists, part=args.part, seed=args.seed,
-            **common)
+            text_featurize=text_feat, **common)
     elif args.name == "objects":
         classify = _protocol_classifier(args, pipe, params, tokenize,
                                         clip_featurize)

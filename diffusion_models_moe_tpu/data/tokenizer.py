@@ -74,8 +74,27 @@ class CLIPTokenizer:
 
     @classmethod
     def from_dir(cls, path: str, max_length: int = 77) -> "CLIPTokenizer":
-        return cls(os.path.join(path, "vocab.json"),
-                   os.path.join(path, "merges.txt"), max_length)
+        tok = cls(os.path.join(path, "vocab.json"),
+                  os.path.join(path, "merges.txt"), max_length)
+        # honor the snapshot's pad token: SDXL's tokenizer_2 pads with '!'
+        # (id 0), not CLIP-L's eos — the bigG tower sees pad positions, so
+        # the wrong pad id shifts its hidden states for short prompts
+        for fname in ("special_tokens_map.json", "tokenizer_config.json"):
+            try:
+                with open(os.path.join(path, fname), encoding="utf-8") as f:
+                    spec = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            pad = spec.get("pad_token")
+            if isinstance(pad, dict):
+                pad = pad.get("content")
+            if isinstance(pad, str):
+                if pad in tok.encoder:
+                    tok.pad = tok.encoder[pad]
+                elif pad + "</w>" in tok.encoder:
+                    tok.pad = tok.encoder[pad + "</w>"]
+                break
+        return tok
 
     def _bpe(self, token: str) -> str:
         if token in self._cache:
@@ -128,8 +147,11 @@ class CLIPTokenizer:
 
 def load_sdxl_tokenizers(snapshot_root: str, max_length: int = 77):
     """SDXL snapshots ship two CLIP BPE tokenizers (tokenizer/, tokenizer_2/);
-    returns (tokenize_l, tokenize_bigG) for SDXLPipeline.generate's dual-ids
-    inputs."""
+    returns (tokenize_l, tokenize_bigG) for SDXLPipeline.generate's
+    `cond_ids` / `cond_ids_2` inputs. The pair matters because the bigG
+    tokenizer pads with id 0 ('!') while CLIP-L pads with eos — feeding
+    CLIP-L ids to the bigG tower shifts its hidden states for short
+    prompts."""
     return (load_tokenizer(os.path.join(snapshot_root, "tokenizer"),
                            max_length),
             load_tokenizer(os.path.join(snapshot_root, "tokenizer_2"),

@@ -38,13 +38,18 @@ def init_multihost(coordinator_address: Optional[str] = None,
     explicit = coordinator_address is not None or num_processes is not None
     want = explicit or os.environ.get("JAX_COORDINATOR_ADDRESS") \
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
-    if want and jax.process_count() == 1:
+    if want:
+        # Do NOT probe jax.process_count() first: it initializes the local
+        # backend, after which initialize() always fails and every host would
+        # silently proceed single-host. Call initialize() directly; the only
+        # benign failure is "already initialized" (launcher-side init).
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
-        except RuntimeError:
-            pass  # already initialized by the launcher
+        except RuntimeError as e:
+            if "already initialized" not in str(e).lower():
+                raise  # e.g. backend already created — a real misuse
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -102,10 +102,14 @@ class PixArtPipeline:
                  guidance_scale: Optional[float] = None,
                  tap: Optional[TapSpec] = None,
                  ivs: Optional[Interventions] = None,
-                 decode: bool = True, mesh=None):
+                 decode: bool = True, mesh=None, seeds=None):
         cfg = self.config
         num_steps = num_steps or cfg.num_inference_steps
         g = cfg.guidance_scale if guidance_scale is None else guidance_scale
+        if seeds is not None:
+            # per-request noise: sample i depends only on seeds[i] (the
+            # serving engine's determinism contract, as in the SD pipeline)
+            seeds = jnp.asarray(seeds, jnp.uint32)
         if mesh is not None:
             # dp/tp placement as in StableDiffusionPipeline.generate (the T5
             # MLPs and DiT attention/FF shard on the same path rules)
@@ -125,19 +129,22 @@ class PixArtPipeline:
             else:
                 params = jax.device_put(params, rep)
             key = jax.device_put(key, rep)
+            if seeds is not None:
+                seeds = jax.device_put(seeds, batch_sharding(mesh, 1))
             if ivs is not None:
                 ivs = jax.device_put(ivs, rep)
         fn = self._jitted_generate(num_steps, g, tap, decode,
                                    ivs is not None,
-                                   cond_mask is not None)
+                                   cond_mask is not None,
+                                   seeds is not None)
         return fn(params, cond_ids, uncond_ids, cond_mask, uncond_mask, key,
-                  ivs)
+                  ivs, seeds)
 
     @functools.lru_cache(maxsize=16)
     def _jitted_generate(self, num_steps, guidance_scale, tap, decode,
-                         has_ivs, has_mask):
+                         has_ivs, has_mask, has_seeds=False):
         def run(params, cond_ids, uncond_ids, cond_mask, uncond_mask, key,
-                ivs):
+                ivs, seeds):
             cfg = self.config
             b = cond_ids.shape[0]
             cond_emb = self.encode_text(params, cond_ids, cond_mask)
@@ -145,8 +152,16 @@ class PixArtPipeline:
             context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
             do_cfg = guidance_scale > 1.0
             s = cfg.sample_size
-            latents = jax.random.normal(
-                key, (b, s, s, cfg.transformer.sample_channels), jnp.float32)
+            if seeds is not None:
+                latents = jax.vmap(
+                    lambda sd: jax.random.normal(
+                        jax.random.PRNGKey(sd),
+                        (s, s, cfg.transformer.sample_channels),
+                        jnp.float32))(seeds)
+            else:
+                latents = jax.random.normal(
+                    key, (b, s, s, cfg.transformer.sample_channels),
+                    jnp.float32)
             latents = latents * self.scheduler.init_noise_sigma
             timesteps, coeffs, state = self.scheduler.set_timesteps(num_steps)
             if state is None:

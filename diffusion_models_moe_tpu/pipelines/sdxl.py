@@ -102,11 +102,22 @@ class SDXLPipeline:
                  num_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
                  size: Optional[tuple] = None,
-                 tap=None, ivs=None, decode: bool = True, mesh=None):
+                 tap=None, ivs=None, decode: bool = True, mesh=None,
+                 seeds=None, cond_ids_2=None, uncond_ids_2=None):
+        """`seeds` (B,) derives each sample's initial (and LCM per-step) noise
+        from its own seed — the serving engine's per-request determinism
+        contract, same semantics as StableDiffusionPipeline.generate.
+        `cond_ids_2`/`uncond_ids_2` are the bigG tower's token ids (SDXL's
+        tokenizer_2 pads with 0, not CLIP-L's eos — `load_sdxl_tokenizers`);
+        they default to the CLIP-L ids for convenience."""
         cfg = self.config
         num_steps = num_steps or cfg.num_inference_steps
         g = cfg.guidance_scale if guidance_scale is None else guidance_scale
         px = (size or (cfg.sample_size * 8, cfg.sample_size * 8))
+        if seeds is not None:
+            seeds = jnp.asarray(seeds, jnp.uint32)
+        cond_ids_2 = cond_ids if cond_ids_2 is None else cond_ids_2
+        uncond_ids_2 = uncond_ids if uncond_ids_2 is None else uncond_ids_2
         if mesh is not None:
             # same dp/tp placement as StableDiffusionPipeline.generate — SDXL
             # is where tp matters most (2.6B UNet; 70 depth-stacked FFs shard
@@ -118,6 +129,13 @@ class SDXLPipeline:
                                       batch_sharding(mesh, cond_ids.ndim))
             uncond_ids = jax.device_put(jnp.asarray(uncond_ids),
                                         batch_sharding(mesh, uncond_ids.ndim))
+            cond_ids_2 = jax.device_put(jnp.asarray(cond_ids_2),
+                                        batch_sharding(mesh, cond_ids_2.ndim))
+            uncond_ids_2 = jax.device_put(
+                jnp.asarray(uncond_ids_2),
+                batch_sharding(mesh, uncond_ids_2.ndim))
+            if seeds is not None:
+                seeds = jax.device_put(seeds, batch_sharding(mesh, 1))
             rep = replicated(mesh)
             if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
                 params = jax.device_put(params, param_shardings(params, mesh))
@@ -126,23 +144,27 @@ class SDXLPipeline:
             key = jax.device_put(key, rep)
             if ivs is not None:
                 ivs = jax.device_put(ivs, rep)
-        fn = self._jitted(num_steps, g, px, tap, decode, ivs is not None)
-        return fn(params, cond_ids, uncond_ids, key, ivs)
+        fn = self._jitted(num_steps, g, px, tap, decode, ivs is not None,
+                          seeds is not None)
+        return fn(params, cond_ids, uncond_ids, cond_ids_2, uncond_ids_2,
+                  key, ivs, seeds)
 
     @functools.lru_cache(maxsize=8)
-    def _jitted(self, num_steps, guidance_scale, px, tap, decode, has_ivs):
+    def _jitted(self, num_steps, guidance_scale, px, tap, decode, has_ivs,
+                has_seeds=False):
         cfg = self.config
         is_lcm = isinstance(self.scheduler, LCMScheduler)
         do_cfg = guidance_scale > 1.0 and not is_lcm
         collect = tap is not None and any(
             getattr(tap, f.name) for f in tap.__dataclass_fields__.values())
 
-        def run(params, cond_ids, uncond_ids, key, ivs):
+        def run(params, cond_ids, uncond_ids, cond_ids_2, uncond_ids_2, key,
+                ivs, seeds):
             b = cond_ids.shape[0]
-            ctx_c, pool_c = self.encode_prompts(params, cond_ids, cond_ids)
+            ctx_c, pool_c = self.encode_prompts(params, cond_ids, cond_ids_2)
             if do_cfg:
                 ctx_u, pool_u = self.encode_prompts(params, uncond_ids,
-                                                    uncond_ids)
+                                                    uncond_ids_2)
                 context = jnp.concatenate([ctx_u, ctx_c], axis=0)
                 pooled = jnp.concatenate([pool_u, pool_c], axis=0)
             else:
@@ -162,14 +184,27 @@ class SDXLPipeline:
                     downscale_freq_shift=1.0)
 
             s = cfg.sample_size
-            lat = jax.random.normal(key, (b, s, s, cfg.unet.sample_channels),
-                                    jnp.float32) * self.scheduler.init_noise_sigma
+            if seeds is not None:
+                # per-request noise: sample i depends only on seeds[i]
+                lat = jax.vmap(
+                    lambda sd: jax.random.normal(
+                        jax.random.PRNGKey(sd),
+                        (s, s, cfg.unet.sample_channels), jnp.float32))(seeds)
+            else:
+                lat = jax.random.normal(
+                    key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
+            lat = lat * self.scheduler.init_noise_sigma
             out = self.scheduler.set_timesteps(num_steps)
             timesteps, coeffs, state = out
             if state is None:
                 if is_lcm:
-                    state = self.scheduler.init_state(
-                        lat.shape, key=jax.random.fold_in(key, 1))
+                    if seeds is not None:
+                        key_lcm = jax.vmap(
+                            lambda sd: jax.random.fold_in(
+                                jax.random.PRNGKey(sd), 1))(seeds)
+                    else:
+                        key_lcm = jax.random.fold_in(key, 1)
+                    state = self.scheduler.init_state(lat.shape, key=key_lcm)
                 else:
                     state = self.scheduler.init_state(lat.shape)
 

@@ -89,15 +89,16 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
     log_path = os.path.join(run_cfg.out_dir, "train_log.jsonl")
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    if start_step > 0:
-        # resume-time data skipping: drop the batches the interrupted run
-        # already consumed so the data stream continues where it left off
-        # (reference step arithmetic: train_relufied_sd.py:976-1000)
-        import itertools
-        consumed = itertools.islice(batches, start_step)
-        for _ in consumed:
-            pass
+    # resume-time data skipping: drop the batches the interrupted run already
+    # consumed so the data stream continues where it left off (reference step
+    # arithmetic: train_relufied_sd.py:976-1000). Materialize the iterator
+    # FIRST: islice over a list/Sequence would consume nothing and iter()
+    # would then restart from element 0, silently re-training consumed data.
     batches = iter(batches)
+    if start_step > 0:
+        import itertools
+        for _ in itertools.islice(batches, start_step):
+            pass
     with mesh:
         state = jax.device_put(state, state_shard)
         for step in range(start_step, run_cfg.max_steps):

@@ -125,7 +125,6 @@ def port_pixart_transformer(snapshot_dir: str, cfg: PixArtConfig,
         "caption_linear_2": _linear(sd, "caption_projection.linear_2"),
         "final_scale_shift": sd["scale_shift_table"],
         "proj_out": _linear(sd, "proj_out"),
-        "norm_out": {},  # LayerNorm without affine params
     }
     for i in range(cfg.num_layers):
         b = f"transformer_blocks.{i}"
@@ -150,7 +149,6 @@ def port_pixart_transformer(snapshot_dir: str, cfg: PixArtConfig,
                 "out_proj_bias": sd[f"{b}.ff.net.2.bias"],
             },
         }
-    params.pop("norm_out")
     return params
 
 
@@ -161,5 +159,8 @@ def port_pixart_pipeline(snapshot_root: str, config) -> dict:
         "transformer": port_pixart_transformer(
             snapshot_root, config.transformer, config.sample_size),
         "text_encoder": port_t5_encoder(snapshot_root, config.text_encoder),
-        "vae": port_vae_decoder(snapshot_root, config.vae),
+        # port_vae_decoder expects the vae/ subdirectory (it joins the
+        # safetensors filename itself), mirroring the SD snapshot layout
+        "vae": port_vae_decoder(os.path.join(snapshot_root, "vae"),
+                                config.vae),
     }

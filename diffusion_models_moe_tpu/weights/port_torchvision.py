@@ -142,3 +142,20 @@ def census(params: dict, prefix: str = "") -> Sequence[str]:
         else:
             out.append(f"{prefix}{k}")
     return out
+
+
+def load_state_dict(path: str) -> dict:
+    """One shared '.npz or torch checkpoint -> flat state dict' loader for the
+    judge-backbone porters (ResNet/SSCD/LPIPS/Inception). Handles: .npz
+    archives of the same keys, plain torch state dicts, {'state_dict': ...}
+    wrappers, and torchscript/module objects exposing .state_dict()."""
+    if path.endswith(".npz"):
+        import numpy as np
+        return dict(np.load(path))
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict):
+        obj = obj.get("state_dict", obj)
+    return obj

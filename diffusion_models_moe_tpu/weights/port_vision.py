@@ -57,3 +57,22 @@ def port_clip_vision(snapshot_dir: str, cfg: CLIPVisionConfig) -> dict:
             "fc2": _linear(sd, f"{lp}.mlp.fc2"),
         }
     return params
+
+
+def clip_b32_text_config():
+    """Text-tower geometry of openai/clip-vit-base-patch32 (the reference's
+    metric CLIP — benchmarks/artist_removal.py:176): 512-dim, 8 heads."""
+    from diffusion_models_moe_tpu.config import CLIPTextConfig
+    return CLIPTextConfig(hidden_size=512, intermediate_size=2048,
+                          num_heads=8)
+
+
+def port_clip_text_projection(snapshot_dir: str):
+    """text_projection matrix of a full CLIPModel snapshot ((hidden, joint),
+    ready for `pooled_text_embedding`), or None when the snapshot has only a
+    vision tower."""
+    sd = _load_safetensors(os.path.join(snapshot_dir, "model.safetensors"))
+    for key in ("text_projection.weight", "clip.text_projection.weight"):
+        if key in sd:
+            return np.ascontiguousarray(sd[key].T)
+    return None

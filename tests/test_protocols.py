@@ -65,8 +65,20 @@ def test_artist_removal_protocol_smoke(setup, tmp_path):
     def fake_featurize(images):
         return images.reshape(images.shape[0], -1)[:, :16]
 
+    def fake_text_featurize(prompts):
+        # deterministic per-prompt embedding in the same 16-dim fake space
+        rs = np.random.RandomState(len(prompts))
+        return rs.randn(len(prompts), 16)
+
     r = artist_removal_protocol(pipe, params, tokenize, str(tmp_path),
                                 fake_featurize, n_artists=100, part=1,
-                                limit=2, num_steps=2, batch_size=2)
+                                limit=2, num_steps=2, batch_size=2,
+                                text_featurize=fake_text_featurize)
     assert r["n_artists"] == 2
+    # reference accuracy semantics: mean(cos(text, orig) > cos(text, removed))
     assert 0.0 <= r["removal_accuracy"] <= 1.0
+    # without text embeddings the accuracy is honestly absent, not vacuous
+    r2 = artist_removal_protocol(pipe, params, tokenize, str(tmp_path),
+                                 fake_featurize, n_artists=100, part=1,
+                                 limit=2, num_steps=2, batch_size=2)
+    assert r2["removal_accuracy"] is None

@@ -125,3 +125,26 @@ def test_sdxl_moefication_route_and_bake():
     kern = np.asarray(node["out_proj_kernel"])        # (H, D)
     assert (kern[:4, :] == 0).all()
     assert not (kern[4:, :] == 0).all()
+
+
+def test_sdxl_per_sample_seeds_and_dual_ids():
+    """seeds= derives each sample's noise from its own seed (serving
+    contract), and cond_ids_2 feeds the bigG tower separately."""
+    pipe = _tiny_sdxl()
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 100)
+    un = jnp.zeros_like(ids)
+    lat1, _ = pipe.generate(params, ids, un, jax.random.PRNGKey(0),
+                            num_steps=2, decode=False,
+                            seeds=np.asarray([7, 3]))
+    lat2, _ = pipe.generate(params, ids, un, jax.random.PRNGKey(99),
+                            num_steps=2, decode=False,
+                            seeds=np.asarray([7, 1000]))
+    np.testing.assert_array_equal(np.asarray(lat1[0]), np.asarray(lat2[0]))
+    assert np.abs(np.asarray(lat1[1]) - np.asarray(lat2[1])).max() > 1e-4
+    # bigG ids flow: changing only cond_ids_2 changes the image
+    ids2 = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, 100)
+    lat3, _ = pipe.generate(params, ids, un, jax.random.PRNGKey(0),
+                            num_steps=2, decode=False,
+                            seeds=np.asarray([7, 3]), cond_ids_2=ids2)
+    assert np.abs(np.asarray(lat1[0]) - np.asarray(lat3[0])).max() > 1e-5

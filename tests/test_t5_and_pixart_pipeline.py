@@ -218,3 +218,20 @@ def test_sincos_pos_embed_properties():
     # first row: position (0,0) -> sin parts 0, cos parts 1
     np.testing.assert_allclose(e[0, :8], 0.0, atol=1e-12)
     np.testing.assert_allclose(e[0, 8:16], 1.0, atol=1e-12)
+
+
+def test_pixart_per_sample_seeds(pixart_pipe):
+    """seeds= slot-independence for the PixArt pipeline (serving contract)."""
+    pipe, params = pixart_pipe
+    tc = pipe.config.text_encoder
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, tc.max_length), 0,
+                             tc.vocab_size)
+    un = jnp.zeros_like(ids)
+    lat1, _ = pipe.generate(params, ids, un, jax.random.PRNGKey(0),
+                            num_steps=2, decode=False,
+                            seeds=np.asarray([7, 3]))
+    lat2, _ = pipe.generate(params, ids, un, jax.random.PRNGKey(99),
+                            num_steps=2, decode=False,
+                            seeds=np.asarray([7, 1000]))
+    np.testing.assert_array_equal(np.asarray(lat1[0]), np.asarray(lat2[0]))
+    assert np.abs(np.asarray(lat1[1]) - np.asarray(lat2[1])).max() > 1e-4
