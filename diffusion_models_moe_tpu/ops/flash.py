@@ -13,6 +13,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _pad_head_dim(x: jax.Array, target: int) -> jax.Array:
@@ -20,6 +21,50 @@ def _pad_head_dim(x: jax.Array, target: int) -> jax.Array:
     if d == target:
         return x
     return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, target - d),))
+
+
+def _pallas_pad_last(x: jax.Array, target: int) -> jax.Array:
+    """Zero-pad the minor dim with a Pallas kernel (experiment, DMOE_PALLAS_PAD).
+
+    XLA's pad_bitcast_fusion for the 40->128 head-dim pad at the flash
+    boundary profiled at ~110 GB/s (vs ~800 peak); rows of the (.., 40) input
+    are contiguous, so a blocked kernel should move them at near-bandwidth.
+    Requires x's trailing dims to flatten contiguously (call AFTER the
+    (B,h,S,d) transpose so the reshape below is a bitcast).
+
+    Measured on the headline bench: 1.0607 vs 1.0748 img/s — SLOWER, the same
+    pattern as the routing kernel (ops/routing_kernel.py): a pallas_call
+    boundary breaks XLA's surrounding fusions/layout choices by more than the
+    kernel saves. Kept as a documented negative result; default off."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = x.shape[-1]
+    if d == target:
+        return x
+    lead = x.shape[:-1]
+    n = int(np.prod(lead))
+    x2 = x.reshape(n, d)
+    bs = 512
+    pad_rows = (-n) % bs
+    if pad_rows:
+        x2 = jnp.pad(x2, ((0, pad_rows), (0, 0)))
+
+    def kernel(x_ref, o_ref):
+        blk = x_ref[:]
+        o_ref[:] = jnp.concatenate(
+            [blk, jnp.zeros((blk.shape[0], target - d), blk.dtype)], axis=-1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=((n + pad_rows) // bs,),
+        in_specs=[pl.BlockSpec((bs, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bs, target), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + pad_rows, target), x.dtype),
+    )(x2)
+    return out[:n].reshape(*lead, target)
 
 
 def _env_blocks() -> tuple[int, int]:
@@ -56,8 +101,14 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, s, h, d = q.shape
     d_pad = max(128, ((d + 127) // 128) * 128)
 
-    def to_bhsd(x):
-        return _pad_head_dim(x, d_pad).transpose(0, 2, 1, 3)
+    if os.environ.get("DMOE_PALLAS_PAD", "0") == "1":
+        def to_bhsd(x):
+            # transpose FIRST so the kernel's flatten is a bitcast against the
+            # producer's (B,h,S,d) memory order — no relayout at the boundary
+            return _pallas_pad_last(x.transpose(0, 2, 1, 3), d_pad)
+    else:
+        def to_bhsd(x):
+            return _pad_head_dim(x, d_pad).transpose(0, 2, 1, 3)
 
     out = flash_attention(to_bhsd(q), to_bhsd(k), to_bhsd(v),
                           causal=False, sm_scale=sm_scale,
