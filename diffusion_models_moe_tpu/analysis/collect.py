@@ -65,6 +65,11 @@ def collect_predictivity(pipe, params, tokenize,
     """Max-gate (or mean-gate for GELU models) predictivity over prompt pairs.
     The same fixed seed per pair makes base/adj generations comparable
     (reference: base_receiver.py:69-71 determinism convention)."""
+    if len(base_prompts) != len(adj_prompts):
+        # zip() would silently truncate while n_prompts below reported the
+        # full length, corrupting the t-test's n and degrees of freedom
+        raise ValueError(f"paired prompt lists differ in length: "
+                         f"{len(base_prompts)} base vs {len(adj_prompts)} adj")
     tap = TapSpec(max_gate=not mean_gate, mean_gate=mean_gate)
     stat = "mean_gate" if mean_gate else "max_gate"
     base_acc, adj_acc, dstd = TapAccumulator(), TapAccumulator(), PairedDiffStd()
@@ -109,9 +114,11 @@ def wanda_pipeline(pipe, params, tokenize, base_prompts, adj_prompts,
                    skill_ratio: float, seed: int = 0,
                    num_steps: Optional[int] = None,
                    cache_dir: Optional[str] = None) -> dict[int, np.ndarray]:
-    """Full Wanda flow -> {layer: (T, H, D) flax-oriented skilled masks}
-    (reference flow: SURVEY.md §3.3 step (1)). Caches norms like the reference's
-    cache-or-compute (wanda.py:74,126-129)."""
+    """Full Wanda flow -> {layer: (T, D, H) REFERENCE-oriented skilled masks}
+    (reference flow: SURVEY.md §3.3 step (1)) — the orientation
+    `wanda_removal_interventions` and `bake_wanda_masks` expect, so CLI-saved
+    npz masks feed both without re-transposition. Caches norms like the
+    reference's cache-or-compute (wanda.py:74,126-129)."""
     base_file = cache_dir and os.path.join(cache_dir, "base_norms.npz")
     adj_file = cache_dir and os.path.join(cache_dir, "adj_norms.npz")
     if base_file and os.path.exists(base_file) and os.path.exists(adj_file):
@@ -129,8 +136,9 @@ def wanda_pipeline(pipe, params, tokenize, base_prompts, adj_prompts,
     w2 = w2_abs_weights(params["unet"], pipe.config.unet)
     masks = {}
     for l in base_norms:
-        m = wanda_skilled(w2[l], base_norms[l], adj_norms[l], skill_ratio)
-        masks[l] = wanda_mask_to_flax(m)    # (T, H, D)
+        # (T, D, H) reference orientation, as wanda_skilled returns it
+        masks[l] = wanda_skilled(w2[l], base_norms[l], adj_norms[l],
+                                 skill_ratio)
     return masks
 
 

@@ -76,8 +76,11 @@ def prediction_accuracy_skilled(base_acts: np.ndarray, adj_acts: np.ndarray,
 # ---------------------------------------------------------------------- Wanda
 def wanda_metric(w2_abs: np.ndarray, act_norms: np.ndarray) -> np.ndarray:
     """|W2| * ||act||_2: (D, H) weight magnitudes x (T, H) column norms -> (T, D, H)
-    (reference: modularity/wanda.py:142-144)."""
-    return w2_abs[None, :, :] * np.asarray(act_norms)[:, None, :]
+    (reference: modularity/wanda.py:142-144). float32: the (T, D, H) product for a
+    real mid-block layer (51, 1280, 5120) is 1.3 GB already; float64 doubles it
+    without changing which entries rank top-k."""
+    return (np.asarray(w2_abs, np.float32)[None, :, :]
+            * np.asarray(act_norms, np.float32)[:, None, :])
 
 
 def wanda_skilled(w2_abs: np.ndarray, base_norms: np.ndarray,
@@ -85,16 +88,24 @@ def wanda_skilled(w2_abs: np.ndarray, base_norms: np.ndarray,
     """Per (t, output-row): top `skill_ratio` columns of the adj metric, kept only
     where adj metric > base metric (reference: modularity/wanda.py:150-168).
     Returns (T, D, H) bool in the reference's (out, in) weight orientation.
-    """
-    mb = wanda_metric(w2_abs, base_norms)
-    ma = wanda_metric(w2_abs, adj_norms)
-    k = int(skill_ratio * ma.shape[-1])
+
+    Ranked per timestep slice (the top-k is independent per (t, row)) so the
+    peak ancillary allocation is one (D, H) argsort instead of a full
+    (T, D, H) int64 (~2.7 GB for a real mid-block layer)."""
+    w2f = np.asarray(w2_abs, np.float32)
+    k = int(skill_ratio * w2f.shape[-1])
+    t_steps = np.asarray(adj_norms).shape[0]
+    out = np.zeros((t_steps,) + w2f.shape, bool)
     if k == 0:
-        return np.zeros_like(ma, bool)
-    order = np.argsort(-ma, axis=-1)
-    top = np.zeros_like(ma, bool)
-    np.put_along_axis(top, order[..., :k], True, axis=-1)
-    return top & (ma > mb)
+        return out
+    for t in range(t_steps):
+        mb = w2f * np.asarray(base_norms[t], np.float32)[None, :]
+        ma = w2f * np.asarray(adj_norms[t], np.float32)[None, :]
+        order = np.argsort(-ma, axis=-1)
+        top = np.zeros_like(ma, bool)
+        np.put_along_axis(top, order[..., :k], True, axis=-1)
+        out[t] = top & (ma > mb)
+    return out
 
 
 def wanda_mask_to_flax(mask: np.ndarray) -> np.ndarray:

@@ -156,9 +156,8 @@ def cmd_bake_union(args):
                                                         union_over_timesteps)
     from diffusion_models_moe_tpu.weights.export import (export_unet,
                                                          save_safetensors)
-    masks = load_masks(args.masks)
-    # stored flax (T, H, D) -> reference (T, D, H) for union + baking
-    masks_dh = {l: np.swapaxes(m, -1, -2) for l, m in masks.items()}
+    # masks are stored in reference (T, D, H) orientation (wanda_pipeline)
+    masks_dh = load_masks(args.masks)
     static = union_over_timesteps(masks_dh, args.ratio)
     baked = bake_wanda_masks(params["unet"], pipe.config.unet, static)
     save_safetensors(export_unet(baked, pipe.config.unet), args.out)

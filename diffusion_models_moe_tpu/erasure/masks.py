@@ -73,65 +73,88 @@ def mask_iou(a: MaskDict, b: MaskDict) -> float:
 
 
 # -------------------------------------------------------- dynamic interventions
+def _n_layers_for(masks: MaskDict, n_layers: Optional[int]) -> int:
+    """Cover every masked layer. A fixed default of 16 (SD1.x) would silently
+    drop layers >= 16 on SDXL's 70 depth-stacked FFs."""
+    if n_layers is not None:
+        return n_layers
+    return max(1 + max((int(l) for l in masks), default=15), 16)
+
+
+def _windowed(m: np.ndarray, max_timestep: Optional[int]) -> np.ndarray:
+    """Apply the exclusive removal window t < max_timestep to a (T, ...) or
+    static (...) mask. The runtime indexes mask[t] with a traced scan step that
+    JAX CLAMPS at the last row, so a static mask under a window is expanded to
+    (max_timestep + 1, ...) with an all-False final row: steps past the window
+    clamp onto that False row instead of silently re-applying the mask."""
+    if max_timestep is None:
+        return m
+    if m.ndim >= 2 and m.shape[0] > 1:
+        m = m.copy()
+        m[max_timestep:] = False
+        return m
+    static = m[0] if m.ndim >= 2 else m
+    rows = np.repeat(static[None], max_timestep, axis=0)
+    return np.concatenate([rows, np.zeros_like(static[None])], axis=0)
+
+
 def neuron_removal_interventions(
-        masks: MaskDict, n_layers: int = 16, fill: float = GEGLU_REMOVAL_FILL,
+        masks: MaskDict, n_layers: Optional[int] = None,
+        fill: float = GEGLU_REMOVAL_FILL,
         max_timestep: Optional[int] = None) -> Interventions:
     """(T, H) or (H,) skilled-neuron masks -> RemoveNeurons interventions.
 
-    `fill` = -0.17 for GEGLU, 0.0 for the GELU path; `max_timestep` reproduces the
-    reference's removal windows (GELU: t<=5;
-    reference: neuron_receivers/remove_skilled_neurons.py:39-51)."""
+    `fill` = -0.17 for GEGLU, 0.0 for the GELU path. `max_timestep` is the
+    EXCLUSIVE window bound (removal active for t < max_timestep): the
+    reference's GELU-path 't <= 5' window is max_timestep=6
+    (reference: neuron_receivers/remove_skilled_neurons.py:39-51)."""
     ivs = []
-    for l in range(n_layers):
+    for l in range(_n_layers_for(masks, n_layers)):
         if l not in masks:
             ivs.append(None)
             continue
         m = np.asarray(masks[l], bool)
+        m = _windowed(m, max_timestep)
         if m.ndim == 1:
             m = m[None, :]
-        if max_timestep is not None:
-            m = m.copy()
-            m[max_timestep:] = False
         ivs.append(LayerIntervention(neuron_mask=m, neuron_fill=fill))
     return tuple(ivs)
 
 
 def expert_removal_interventions(
         expert_masks: MaskDict, labels: dict[str, np.ndarray], topk_ratio: float,
-        n_layers: int = 16, max_timestep: Optional[int] = 20) -> Interventions:
-    """(T, E) skilled-expert masks + cluster labels -> RemoveExperts interventions.
-    The reference zeroes expert pattern rows only for timestep < 20
+        n_layers: Optional[int] = None,
+        max_timestep: Optional[int] = 20) -> Interventions:
+    """(T, E) or (E,) skilled-expert masks + cluster labels -> RemoveExperts
+    interventions. The reference zeroes expert pattern rows only for
+    timestep < 20 — `max_timestep` is that exclusive bound
     (reference: neuron_receivers/remove_skilled_experts.py:32-33)."""
-    ivs = []
-    for l in range(n_layers):
-        name = layer_name(l)
-        if name not in labels:
-            ivs.append(None)
-            continue
-        lab = np.asarray(labels[name])
-        n_experts = int(lab.max()) + 1
-        k = max(int(n_experts * topk_ratio), 1)
-        rm = None
-        if l in expert_masks:
-            rm = np.asarray(expert_masks[l], bool)
-            if rm.ndim == 1:
-                rm = rm[None, :]
-            if max_timestep is not None:
-                rm = rm.copy()
-                rm[max_timestep:] = False
-        ivs.append(LayerIntervention(
-            patterns=patterns_from_labels(lab, n_experts), k=k,
-            expert_remove=None if rm is None else rm.astype(np.float32)))
-    return tuple(ivs)
+    from diffusion_models_moe_tpu.moefication.moefy import \
+        build_moe_interventions
+
+    remove = {}
+    for l, m in expert_masks.items():
+        rm = _windowed(np.asarray(m, bool), max_timestep)
+        if rm.ndim == 1:
+            rm = rm[None, :]
+        remove[layer_name(l)] = rm.astype(np.float32)
+    if n_layers is None:
+        n_layers = max(_n_layers_for(expert_masks, None),
+                       1 + max((int(k.rsplit("_", 1)[1]) for k in labels),
+                               default=15))
+    return build_moe_interventions(labels, topk_ratio, n_layers=n_layers,
+                                   expert_remove=remove)
 
 
 def wanda_removal_interventions(masks_dh: MaskDict,
-                                n_layers: int = 16) -> Interventions:
-    """Wanda (D, H)/(T, D, H) reference-orientation masks -> out_weight_mask
-    interventions in flax (H, D) orientation
+                                n_layers: Optional[int] = None
+                                ) -> Interventions:
+    """Wanda (D, H)/(T, D, H) reference-orientation masks (the orientation
+    `wanda_pipeline` emits and the CLI stores) -> out_weight_mask interventions
+    in flax (H, D) orientation
     (reference: neuron_receivers/remove_wanda_neurons_fast.py:69-83)."""
     ivs = []
-    for l in range(n_layers):
+    for l in range(_n_layers_for(masks_dh, n_layers)):
         if l not in masks_dh:
             ivs.append(None)
             continue
@@ -164,7 +187,12 @@ def bake_wanda_masks(unet_params: dict, cfg, masks_dh: MaskDict) -> dict:
 def bake_gate_masks(unet_params: dict, cfg, masks_h: MaskDict) -> dict:
     """Statically prune gate-half columns of the FF up-projection (the AP/union-AP
     variant pruning ff.net.0.proj's gate half;
-    reference: benchmarks/save_union_over_ap.py:90+). masks: (H,) bool per layer."""
+    reference: benchmarks/save_union_over_ap.py:90+). masks: (H,) bool per layer.
+
+    Deliberate deviation: the gate BIAS entries are zeroed along with the
+    kernel columns. The reference edits only the weight, which leaves a pruned
+    neuron emitting gelu(bias)*hidden on every token — the concept pathway
+    leaks through the bias. Zeroing both makes the neuron truly silent."""
     import jax
     from diffusion_models_moe_tpu.moefication.moefy import ff_param_paths
 
@@ -179,4 +207,8 @@ def bake_gate_masks(unet_params: dict, cfg, masks_h: MaskDict) -> dict:
         keep = np.ones(kern.shape[1], np.float32)
         keep[h:] = 1.0 - np.asarray(mask, np.float32)
         node["proj"]["kernel"] = (kern * keep[None, :]).astype(kern.dtype)
+        # the gate pre-activation also carries a bias: leaving it would make a
+        # "pruned" neuron still emit gelu(bias) * hidden on every token
+        bias = np.asarray(node["proj"]["bias"])                # (2H,)
+        node["proj"]["bias"] = (bias * keep).astype(bias.dtype)
     return params

@@ -60,3 +60,23 @@ def test_cli_serve(tmp_path, monkeypatch, capsys):
     assert len(list(out_dir.glob("img_*.png"))) == 2
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["served"] == 2
+
+
+def test_cli_wanda_remove_bake_roundtrip(tmp_path):
+    """The default erasure flow end-to-end: wanda mask collection -> dynamic
+    removal eval -> static union baking. Regression for the mask-orientation
+    bug where cli-saved masks were double-transposed by
+    wanda_removal_interventions and crashed `remove --mode wanda`."""
+    masks_p = tmp_path / "masks.npz"
+    main(["wanda", "--cpu", "--concept", "Van Gogh", "--limit", "1",
+          "--steps", "2", "--skill-ratio", "0.05", "--out", str(masks_p)])
+    assert masks_p.exists()
+    out_dir = tmp_path / "removed"
+    main(["remove", "--cpu", "--concept", "Van Gogh", "--limit", "1",
+          "--steps", "2", "--batch", "1", "--masks", str(masks_p),
+          "--out-dir", str(out_dir)])
+    assert any(f.endswith(".png") for f in os.listdir(out_dir))
+    baked = tmp_path / "baked.safetensors"
+    main(["bake-union", "--cpu", "--masks", str(masks_p), "--ratio", "0.3",
+          "--out", str(baked)])
+    assert baked.exists() and baked.stat().st_size > 0

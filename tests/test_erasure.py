@@ -13,7 +13,7 @@ from diffusion_models_moe_tpu.erasure.masks import (bake_gate_masks,
                                                     save_masks, union_masks,
                                                     union_over_timesteps,
                                                     wanda_removal_interventions)
-from diffusion_models_moe_tpu.taps import GEGLU_REMOVAL_FILL
+from diffusion_models_moe_tpu.taps import GEGLU_REMOVAL_FILL, layer_name
 
 
 def test_mask_algebra(tmp_path):
@@ -103,3 +103,38 @@ def test_gate_mask_baking(pipe_params):
         baked["down_0_attn_0"]["transformer_blocks_0"]["ff"]["proj"]["kernel"])
     assert np.all(kern[:, h0:] == 0)          # gate half zeroed
     assert np.any(kern[:, :h0] != 0)          # hidden half intact
+
+
+def test_static_mask_window_clamps_to_false():
+    """A static (H,) mask under a removal window expands so the traced scan
+    index (which JAX clamps at the last row) lands on an all-False row for
+    t >= max_timestep — regression for the silent no-op where the window
+    did nothing and removal applied at every step."""
+    m = np.zeros(8, bool)
+    m[2] = True
+    ivs = neuron_removal_interventions({0: m}, max_timestep=5)
+    nm = ivs[0].neuron_mask
+    assert nm.shape == (6, 8)               # rows 0..4 active, row 5 False
+    assert nm[:5].all(axis=0)[2] and not nm[5].any()
+    # clamped indexing: any t >= 5 hits the False row
+    assert not nm[min(30, nm.shape[0] - 1)].any()
+
+
+def test_expert_window_default_static_mask():
+    """(E,) static expert masks honor the default t<20 window through the
+    same expansion (reference: remove_skilled_experts.py:32-33)."""
+    labels = {layer_name(0): np.arange(8) % 2}
+    rm = np.asarray([True, False])
+    ivs = expert_removal_interventions({0: rm}, labels, topk_ratio=0.5)
+    er = ivs[0].expert_remove
+    assert er.shape == (21, 2)
+    assert er[0, 0] == 1.0 and er[20].sum() == 0.0
+
+
+def test_n_layers_derived_from_mask_keys():
+    """Masks for layers >= 16 (SDXL's 70 FFs) are not silently dropped."""
+    masks = {40: np.ones((2, 8), bool)}
+    ivs = neuron_removal_interventions(masks)
+    assert len(ivs) == 41 and ivs[40] is not None
+    wiv = wanda_removal_interventions({33: np.ones((4, 8), bool)})
+    assert len(wiv) == 34 and wiv[33] is not None
