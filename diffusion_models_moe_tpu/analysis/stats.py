@@ -67,13 +67,19 @@ class TapAccumulator:
         {'time_steps': {t: {l: {'avg': [...], 'std': [...]}}}}
         (reference: utils.py:298-313)."""
         out = {"time_steps": {}}
-        t_max = max(w.mean.shape[0] for w in self.layers.values())
+        # hoist per-layer mean/std out of the t loop (std() recomputes the full
+        # (T, H) array — once per (t, l) it was T-fold redundant work)
+        means = {l: np.asarray(w.mean) for l, w in self.layers.items()}
+        stds = {l: np.asarray(w.std()) for l, w in self.layers.items()}
+        t_max = max(m.shape[0] for m in means.values())
         for t in range(t_max):
             out["time_steps"][str(t)] = {}
-            for l, w in sorted(self.layers.items()):
+            for l in sorted(self.layers):
+                if t >= means[l].shape[0]:
+                    continue   # ragged layers (shorter tap runs) end early
                 out["time_steps"][str(t)][str(l)] = {
-                    "avg": np.asarray(w.mean[t]).tolist(),
-                    "std": np.asarray(w.std()[t]).tolist(),
+                    "avg": means[l][t].tolist(),
+                    "std": stds[l][t].tolist(),
                 }
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:

@@ -59,30 +59,41 @@ def run_eval(pipe, params, tokenize: Callable[[Sequence[str]], np.ndarray],
         idxs = list(range(start, start + len(chunk)))
         outs = [os.path.join(cfg.out_dir, f"removed_{name_fn(i)}.png")
                 for i in idxs]
+        if cfg.save_baseline:
+            # resume-by-skip must also backfill baselines: a rerun with
+            # save_baseline on after a --no-baseline run would otherwise skip
+            # every batch and never produce a single sd_*.png
+            outs += [os.path.join(cfg.out_dir, f"sd_{name_fn(i)}.png")
+                     for i in idxs]
         if all(os.path.exists(p) for p in outs):
             skipped += len(chunk)
             continue
         cond_ids, n_real = _pad_batch(np.asarray(tokenize(chunk)), b)
         uncond_ids = np.repeat(uncond, b, axis=0)
+        key = jax.random.PRNGKey(cfg.seed)
+        seeds = None
         if cfg.per_prompt_seeds is not None:
-            seed = int(cfg.per_prompt_seeds[start])
-        else:
-            seed = cfg.seed
-        key = jax.random.PRNGKey(seed)
+            # one seed PER PROMPT (the reference's evaluation_seed column,
+            # benchmarks/artist_removal.py:59-70) via the pipeline's
+            # per-sample noise path; padded slots repeat the last real seed
+            chunk_seeds = [int(s) for s in
+                           cfg.per_prompt_seeds[start:start + len(chunk)]]
+            seeds = np.asarray(chunk_seeds + [chunk_seeds[-1]] * (b - n_real),
+                               np.uint32)
 
         if cfg.save_baseline:
             imgs, _ = pipe.generate(params, jnp.asarray(cond_ids),
                                     jnp.asarray(uncond_ids), key,
                                     num_steps=cfg.num_steps,
                                     guidance_scale=cfg.guidance_scale,
-                                    mesh=mesh)
+                                    mesh=mesh, seeds=seeds)
             for img, i in zip(to_pil(imgs[:n_real]), idxs):
                 img.save(os.path.join(cfg.out_dir, f"sd_{name_fn(i)}.png"))
         imgs, _ = pipe.generate(params, jnp.asarray(cond_ids),
                                 jnp.asarray(uncond_ids), key,
                                 num_steps=cfg.num_steps,
                                 guidance_scale=cfg.guidance_scale, ivs=ivs,
-                                mesh=mesh)
+                                mesh=mesh, seeds=seeds)
         for img, i in zip(to_pil(imgs[:n_real]), idxs):
             img.save(os.path.join(cfg.out_dir, f"removed_{name_fn(i)}.png"))
         done += len(chunk)

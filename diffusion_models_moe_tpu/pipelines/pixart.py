@@ -10,7 +10,6 @@ arrays, interventions in as scan-indexed arrays.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax
@@ -70,6 +69,7 @@ class PixArtPipeline:
         self.vae_decoder = VAEDecoder(config.vae)
         sched = {"dpm": DPMSolverScheduler, "ddim": DDIMScheduler}
         self.scheduler = sched[config.scheduler].create()
+        self._jit_cache: dict = {}
 
     def init_params(self, key: jax.Array) -> dict:
         cfg = self.config
@@ -140,9 +140,15 @@ class PixArtPipeline:
         return fn(params, cond_ids, uncond_ids, cond_mask, uncond_mask, key,
                   ivs, seeds)
 
-    @functools.lru_cache(maxsize=16)
     def _jitted_generate(self, num_steps, guidance_scale, tap, decode,
                          has_ivs, has_mask, has_seeds=False):
+        # per-instance cache (class-level lru_cache would pin self; see
+        # StableDiffusionPipeline._jitted_generate)
+        cache_key = (num_steps, guidance_scale, tap, decode, has_ivs,
+                     has_mask, has_seeds)
+        cached = self._jit_cache.get(cache_key)
+        if cached is not None:
+            return cached
         def run(params, cond_ids, uncond_ids, cond_mask, uncond_mask, key,
                 ivs, seeds):
             cfg = self.config
@@ -205,4 +211,8 @@ class PixArtPipeline:
             images = self.vae_decoder.apply({"params": params["vae"]}, latents)
             return jnp.clip(images / 2.0 + 0.5, 0.0, 1.0), taps
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        if len(self._jit_cache) >= 16:
+            self._jit_cache.pop(next(iter(self._jit_cache)))
+        self._jit_cache[cache_key] = fn
+        return fn

@@ -10,7 +10,6 @@ through to the SDXL UNet's 70 GEGLU FF layers.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
@@ -39,6 +38,11 @@ class SDXLPipeline:
 
     def __init__(self, config: PipelineConfig,
                  text_configs: Optional[tuple] = None):
+        if config.scheduler == "lcm" and config.unet.time_cond_proj_dim <= 0:
+            # see StableDiffusionPipeline.__init__: LCM without the guidance
+            # embedding would silently ignore guidance_scale
+            raise ValueError("scheduler='lcm' needs unet.time_cond_proj_dim "
+                             "> 0 (the distilled guidance embedding)")
         self.config = config
         self.unet = UNet2DCondition(config.unet)
         tc1, tc2 = text_configs or sdxl_text_configs(config.unet.dtype)
@@ -47,6 +51,7 @@ class SDXLPipeline:
         self.vae_decoder = VAEDecoder(config.vae)
         self.scheduler = SCHEDULERS[config.scheduler].create()
         self._tc1, self._tc2 = tc1, tc2
+        self._jit_cache: dict = {}
 
     def init_params(self, key: jax.Array) -> dict:
         cfg = self.config
@@ -149,9 +154,15 @@ class SDXLPipeline:
         return fn(params, cond_ids, uncond_ids, cond_ids_2, uncond_ids_2,
                   key, ivs, seeds)
 
-    @functools.lru_cache(maxsize=8)
     def _jitted(self, num_steps, guidance_scale, px, tap, decode, has_ivs,
                 has_seeds=False):
+        # per-instance cache (class-level lru_cache would pin self; see
+        # StableDiffusionPipeline._jitted_generate)
+        cache_key = (num_steps, guidance_scale, px, tap, decode, has_ivs,
+                     has_seeds)
+        cached = self._jit_cache.get(cache_key)
+        if cached is not None:
+            return cached
         cfg = self.config
         is_lcm = isinstance(self.scheduler, LCMScheduler)
         do_cfg = guidance_scale > 1.0 and not is_lcm
@@ -193,7 +204,9 @@ class SDXLPipeline:
             else:
                 lat = jax.random.normal(
                     key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
-            lat = lat * self.scheduler.init_noise_sigma
+            ins = getattr(self.scheduler, "init_noise_sigma_for", None)
+            lat = lat * (ins(num_steps) if ins is not None
+                         else self.scheduler.init_noise_sigma)
             out = self.scheduler.set_timesteps(num_steps)
             timesteps, coeffs, state = out
             if state is None:
@@ -240,4 +253,8 @@ class SDXLPipeline:
             images = self.vae_decoder.apply({"params": params["vae"]}, lat)
             return jnp.clip(images / 2.0 + 0.5, 0.0, 1.0), taps
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        if len(self._jit_cache) >= 8:
+            self._jit_cache.pop(next(iter(self._jit_cache)))
+        self._jit_cache[cache_key] = fn
+        return fn

@@ -9,7 +9,6 @@ host syncs in the loop.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax
@@ -62,18 +61,29 @@ class StableDiffusionPipeline:
 
     def __init__(self, config: PipelineConfig):
         if (config.prediction_type == "v_prediction"
-                and config.scheduler not in ("ddim", "pndm", "dpm")):
-            # the v->eps conversion in `denoise` uses the raw carried latent,
-            # which is only x_t-space for these schedulers (Euler carries
-            # sigma-space sqrt(sigma^2+1)*x_t — silently wrong otherwise)
+                and config.scheduler not in ("ddim", "dpm")):
+            # the v->eps conversion in `denoise` uses the raw carried latent at
+            # the CURRENT timestep, which is only correct for single-history
+            # x_t-space schedulers. Euler carries sigma-space
+            # sqrt(sigma^2+1)*x_t; PNDM's warm-up relabels timesteps and its
+            # Adams-Bashforth combination must happen on raw model outputs
+            # BEFORE conversion (diffusers converts the combined output once) —
+            # both silently diverge, so both are rejected.
             raise ValueError(
                 f"prediction_type='v_prediction' supports schedulers "
-                f"ddim/pndm/dpm, not {config.scheduler!r}")
+                f"ddim/dpm, not {config.scheduler!r}")
+        if config.scheduler == "lcm" and config.unet.time_cond_proj_dim <= 0:
+            # without the guidance embedding an LCM run would silently ignore
+            # guidance_scale entirely (no CFG and no embedded guidance)
+            raise ValueError(
+                "scheduler='lcm' needs unet.time_cond_proj_dim > 0 (the "
+                "distilled guidance embedding; reference LCM-SDXL loads it)")
         self.config = config
         self.unet = UNet2DCondition(config.unet)
         self.text_encoder = CLIPTextEncoder(config.text_encoder)
         self.vae_decoder = VAEDecoder(config.vae)
         self.scheduler = SCHEDULERS[config.scheduler].create()
+        self._jit_cache: dict = {}
 
     # ------------------------------------------------------------------ params
     def init_params(self, key: jax.Array) -> dict:
@@ -247,9 +257,17 @@ class StableDiffusionPipeline:
                                    seeds is not None)
         return fn(params, cond_ids, uncond_ids, key, ivs, text_ivs, seeds)
 
-    @functools.lru_cache(maxsize=32)
     def _jitted_generate(self, num_steps, guidance_scale, tap, decode,
                          has_ivs, has_text_ivs, has_seeds=False):
+        # per-INSTANCE executable cache: a class-level lru_cache would key on
+        # self and pin every pipeline object (plus its compiled executables)
+        # for the process lifetime
+        cache_key = (num_steps, guidance_scale, tap, decode, has_ivs,
+                     has_text_ivs, has_seeds)
+        cached = self._jit_cache.get(cache_key)
+        if cached is not None:
+            return cached
+
         def run(params, cond_ids, uncond_ids, key, ivs, text_ivs, seeds):
             cfg = self.config
             b = cond_ids.shape[0]
@@ -266,8 +284,10 @@ class StableDiffusionPipeline:
                                                    text_taps)
             elif cond_taps:
                 text_taps = cond_taps
-            if isinstance(self.scheduler, LCMScheduler):
-                context = cond_emb        # guidance is embedded, not CFG
+            if isinstance(self.scheduler, LCMScheduler) or guidance_scale <= 1.0:
+                # LCM embeds guidance; guidance_scale <= 1.0 disables CFG —
+                # either way denoise runs batch-B, so the context must too
+                context = cond_emb
             else:
                 context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
             s = cfg.sample_size
@@ -280,7 +300,9 @@ class StableDiffusionPipeline:
             else:
                 latents = jax.random.normal(
                     key, (b, s, s, cfg.unet.sample_channels), jnp.float32)
-            latents = latents * self.scheduler.init_noise_sigma
+            ins = getattr(self.scheduler, "init_noise_sigma_for", None)
+            latents = latents * (ins(num_steps) if ins is not None
+                                 else self.scheduler.init_noise_sigma)
             if seeds is not None:
                 # per-request LCM noise: each sample's injected noise derives
                 # from its own seed, so co-batching can't change its image
@@ -299,7 +321,11 @@ class StableDiffusionPipeline:
             images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
             return images, taps
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        if len(self._jit_cache) >= 32:
+            self._jit_cache.pop(next(iter(self._jit_cache)))
+        self._jit_cache[cache_key] = fn
+        return fn
 
 
 @jax.jit

@@ -27,9 +27,25 @@ class EulerDiscreteScheduler:
 
     @property
     def init_noise_sigma(self) -> float:
+        """Full-training-table fallback (diffusers' value BEFORE set_timesteps).
+        Pipelines should prefer `init_noise_sigma_for(num_steps)`: diffusers
+        calls set_timesteps first, so its pipelines scale initial latents by
+        the INFERENCE schedule's max sigma (~13.2 at 50 steps), not this ~14.6
+        — the difference hands the UNet a first input with std ~1.11."""
         acp = self.tables.alphas_cumprod
         max_sigma = float(np.sqrt((1 - acp).max() / acp.min()))
         return float(np.sqrt(max_sigma ** 2 + 1))
+
+    def init_noise_sigma_for(self, num_inference_steps: int) -> float:
+        """sqrt(first_schedule_sigma^2 + 1) — the scale diffusers applies to
+        initial latents for a run of this many steps ('leading' spacing)."""
+        n_train = self.tables.num_train_timesteps
+        ts = spaced_timesteps(n_train, num_inference_steps, self.steps_offset)
+        acp = self.tables.alphas_cumprod
+        sigmas_full = np.sqrt((1 - acp) / acp)
+        s0 = float(np.interp(float(np.max(ts)), np.arange(n_train),
+                             sigmas_full))
+        return float(np.sqrt(s0 ** 2 + 1.0))
 
     def set_timesteps(self, num_inference_steps: int):
         n_train = self.tables.num_train_timesteps

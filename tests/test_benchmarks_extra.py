@@ -1,4 +1,6 @@
 """Tests: unified editing routing, dir scoring, object erasure protocol."""
+import os
+
 import numpy as np
 import pytest
 
@@ -202,3 +204,61 @@ def test_baseline_registry_and_dispatch():
                                 jax.random.PRNGKey(2), {"use_sld": True},
                                 safety_ids=cond, num_steps=2, decode=False)
     assert np.all(np.isfinite(np.asarray(img2)))
+
+
+def test_run_eval_per_prompt_seeds(tmp_path):
+    """Each prompt gets ITS OWN evaluation seed inside a batch (the reference
+    CSV's evaluation_seed column) — regression for the bug where only the
+    batch's first seed was used. Prompt 1's image with seeds [7, 3] must equal
+    prompt 0's image from a run where 3 is the first seed."""
+    import jax
+    from PIL import Image
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+    from diffusion_models_moe_tpu.benchmarks.runner import (EvalRunConfig,
+                                                            run_eval)
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = pipe.config.text_encoder
+
+    def tokenize(texts):
+        # constant prompt encoding: images then differ only through the seed
+        return np.full((len(texts), tc.max_length), 5, np.int32)
+
+    a = tmp_path / "a"
+    run_eval(pipe, params, tokenize, ["p", "q"],
+             EvalRunConfig(out_dir=str(a), batch_size=2, num_steps=2,
+                           save_baseline=False, per_prompt_seeds=[7, 3]))
+    b = tmp_path / "b"
+    run_eval(pipe, params, tokenize, ["p", "q"],
+             EvalRunConfig(out_dir=str(b), batch_size=2, num_steps=2,
+                           save_baseline=False, per_prompt_seeds=[3, 11]))
+    img_a1 = np.asarray(Image.open(a / "removed_1.png"))
+    img_b0 = np.asarray(Image.open(b / "removed_0.png"))
+    img_a0 = np.asarray(Image.open(a / "removed_0.png"))
+    np.testing.assert_array_equal(img_a1, img_b0)   # seed 3 == seed 3
+    assert (img_a0 != img_a1).any()                 # seed 7 != seed 3
+
+
+def test_run_eval_backfills_baselines(tmp_path):
+    """A rerun with save_baseline=True after a no-baseline run must generate
+    the missing sd_*.png instead of skipping every batch."""
+    import jax
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+    from diffusion_models_moe_tpu.benchmarks.runner import (EvalRunConfig,
+                                                            run_eval)
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = pipe.config.text_encoder
+
+    def tokenize(texts):
+        return np.full((len(texts), tc.max_length), 5, np.int32)
+
+    cfg0 = EvalRunConfig(out_dir=str(tmp_path), batch_size=2, num_steps=2,
+                         save_baseline=False)
+    run_eval(pipe, params, tokenize, ["p", "q"], cfg0)
+    assert not any(f.startswith("sd_") for f in os.listdir(tmp_path))
+    cfg1 = EvalRunConfig(out_dir=str(tmp_path), batch_size=2, num_steps=2,
+                         save_baseline=True)
+    s = run_eval(pipe, params, tokenize, ["p", "q"], cfg1)
+    assert s["generated"] == 2
+    assert any(f.startswith("sd_") for f in os.listdir(tmp_path))

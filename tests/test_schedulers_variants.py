@@ -215,3 +215,42 @@ def test_lcm_boundary_scalings_match_diffusers():
                                s / np.sqrt(s ** 2 + 0.25), rtol=1e-5)
     # near t=0 the consistency output must be almost pure x0
     assert float(coeffs["c_skip"][-1]) < 1e-4
+
+
+def test_guidance_off_generates():
+    """guidance_scale <= 1.0 (CFG off) must run batch-B end-to-end — the
+    context used to be built (2B,...) unconditionally and crashed."""
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    tc = pipe.config.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1), (1, tc.max_length), 0,
+                              tc.vocab_size)
+    img, _ = pipe.generate(params, cond, jnp.zeros_like(cond),
+                           jax.random.PRNGKey(2), num_steps=2,
+                           guidance_scale=1.0)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_euler_init_noise_sigma_uses_inference_schedule():
+    """diffusers scales initial latents by the INFERENCE schedule's max sigma
+    (set_timesteps runs first); the full-table value over-scales ~11%."""
+    from diffusion_models_moe_tpu.schedulers.euler import EulerDiscreteScheduler
+    s = EulerDiscreteScheduler.create()
+    s50 = s.init_noise_sigma_for(50)
+    assert s50 < s.init_noise_sigma
+    ts, coeffs, _ = s.set_timesteps(50)
+    expect = float(np.sqrt(np.asarray(coeffs["sigmas"])[0] ** 2 + 1.0))
+    assert abs(s50 - expect) < 1e-4
+    # the schedule-max converges to the table-max as steps -> train steps
+    assert abs(s.init_noise_sigma_for(1000) - s.init_noise_sigma) < 0.2
+
+
+def test_invalid_scheduler_pairings_raise():
+    """v_prediction+pndm (multistep conversion diverges) and lcm without the
+    guidance embedding (silently unguided) must fail fast."""
+    with pytest.raises(ValueError):
+        StableDiffusionPipeline(dataclasses.replace(
+            tiny_config(), scheduler="pndm", prediction_type="v_prediction"))
+    with pytest.raises(ValueError):
+        StableDiffusionPipeline(dataclasses.replace(
+            tiny_config(), scheduler="lcm"))
