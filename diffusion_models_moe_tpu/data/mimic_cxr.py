@@ -41,6 +41,11 @@ class MimicCXRDataset:
 
     def batches(self, batch_size: int, tokenize: Callable, seed: int = 0,
                 epochs: Optional[int] = None) -> Iterator[dict]:
+        if len(self.rows) < batch_size:
+            # drop-last batching would yield nothing and an epochs=None loop
+            # would spin forever without producing a batch
+            raise ValueError(f"dataset has {len(self.rows)} rows < "
+                             f"batch_size {batch_size}")
         rng = np.random.RandomState(seed)
         epoch = 0
         while epochs is None or epoch < epochs:

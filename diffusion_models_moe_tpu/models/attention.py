@@ -244,9 +244,11 @@ class GEGLUFeedForward(nn.Module):
         elif tap is not None and tap.any_expert_stat() and iv is not None \
                 and iv.patterns is not None:
             # Expert stats without masking (ExpertPredictivity / GetExperts on an
-            # un-intervened run): compute scores/selection, leave the gate untouched.
+            # un-intervened run): compute scores/selection, leave the gate
+            # untouched. k < 0 observes top-|k| (k == 0 defaults to top-1), so
+            # top-k selection statistics can be collected without routing.
             g2 = gate.reshape(-1, hidden_dim)
-            k = iv.k if iv.k > 0 else 1
+            k = abs(iv.k) if iv.k != 0 else 1
             mask2d, sel = routing_mask(g2, iv.patterns, k)
             self._sow_expert_stats(g2, sel, gate.shape, tap, iv)
 

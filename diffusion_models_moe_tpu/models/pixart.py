@@ -147,10 +147,14 @@ class PixArtTransformer2D(nn.Module):
             x = PixArtBlock(cfg, ff_index=i, name=f"blocks_{i}")(
                 x, context, cond6, step_idx=step_idx, tap=tap, ivs=ivs)
 
-        # final adaLN + unpatchify
+        # final adaLN + unpatchify. diffusers adds the embedded timestep to the
+        # learned table: shift/scale = (scale_shift_table[None]
+        # + embedded_timestep[:, None]).chunk(2) — the table alone drops the
+        # per-sample conditioning and breaks ported-checkpoint parity
         table = self.param("final_scale_shift", nn.initializers.normal(0.02),
                            (2, cfg.hidden_size), jnp.float32)
-        shift, scale = (table[None, 0].astype(dt), table[None, 1].astype(dt))
+        shift = table[None, 0].astype(dt) + temb
+        scale = table[None, 1].astype(dt) + temb
         x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32,
                          name="norm_out")(x).astype(dt)
         x = x * (1.0 + scale[:, None, :]) + shift[:, None, :]

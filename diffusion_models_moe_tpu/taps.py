@@ -86,7 +86,9 @@ class LayerIntervention:
     patterns:     (E, H) 0/1 expert membership; row e marks the neurons of expert e
                   (reference: moefication/helper.py:48-62). Presence + k>0 enables
                   top-k routing (MOEFy; reference: neuron_receivers/moefy.py:10-27).
-    k:            static top-k expert count (int(E * topk_ratio)).
+    k:            static top-k expert count (int(E * topk_ratio)). k > 0 routes
+                  (masks the gate); k < 0 only OBSERVES top-|k| selection for
+                  expert taps without touching the gate; k == 0 observes top-1.
     expert_remove:(T, E) bool — zero these experts' pattern rows at step t before
                   routing (RemoveExperts; reference:
                   neuron_receivers/remove_skilled_experts.py:24-55).

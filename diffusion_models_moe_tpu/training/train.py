@@ -147,7 +147,10 @@ def make_train_step(unet_cfg: UNetConfig, cfg: TrainConfig,
     n_train_t = tables.num_train_timesteps
 
     def loss_fn(params, batch, key):
-        k_t, k_noise, k_pert = jax.random.split(key, 3)
+        # independent keys: offset and perturbation are separate draws in the
+        # reference (two torch.randn calls) — sharing one key would make them
+        # deterministically correlated
+        k_t, k_noise, k_off, k_pert = jax.random.split(key, 4)
         latents = batch["latents"]
         b = latents.shape[0]
         t = jax.random.randint(k_t, (b,), 0, n_train_t)
@@ -155,13 +158,13 @@ def make_train_step(unet_cfg: UNetConfig, cfg: TrainConfig,
         if cfg.noise_offset > 0:
             # per-sample channel-wise offset (reference: train_relufied_sd.py:1022-1027)
             noise = noise + cfg.noise_offset * jax.random.normal(
-                k_pert, (b, 1, 1, latents.shape[-1]))
+                k_off, (b, 1, 1, latents.shape[-1]))
         target_noise = noise
         if cfg.input_perturbation > 0:
             noise = noise + cfg.input_perturbation * jax.random.normal(
                 k_pert, noise.shape)
         a = acp[t][:, None, None, None]
-        noisy = jnp.sqrt(a) * latents + jnp.sqrt(1 - a) * noise
+        noisy = tables.add_noise(latents, noise, t)
         pred = unet.apply({"params": params}, noisy, t, batch["text_emb"])
         if cfg.prediction_type == "epsilon":
             target = target_noise
@@ -169,8 +172,10 @@ def make_train_step(unet_cfg: UNetConfig, cfg: TrainConfig,
             target = jnp.sqrt(a) * target_noise - jnp.sqrt(1 - a) * latents
         per_ex = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
         if cfg.snr_gamma is not None:
-            snr = acp[t] / (1 - acp[t])
-            w = jnp.minimum(snr, cfg.snr_gamma) / snr
+            snr = tables.snr(t)
+            # HF min-SNR: epsilon divides by snr, v-prediction by snr + 1
+            div = snr + 1.0 if cfg.prediction_type == "v_prediction" else snr
+            w = jnp.minimum(snr, cfg.snr_gamma) / div
             per_ex = per_ex * w
         return jnp.mean(per_ex)
 
@@ -181,9 +186,19 @@ def make_train_step(unet_cfg: UNetConfig, cfg: TrainConfig,
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
         if cfg.use_ema and ema is not None:
-            ema = jax.tree_util.tree_map(
+            new_ema = jax.tree_util.tree_map(
                 lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
                 ema, params)
+            if cfg.grad_accum_steps > 1:
+                # EMA steps once per OPTIMIZER step: on accumulation
+                # micro-steps params are unchanged and decaying the EMA toward
+                # them would shrink its horizon by grad_accum_steps x.
+                # MultiSteps wraps back to mini_step == 0 after applying.
+                applied = opt_state.mini_step == 0
+                ema = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(applied, n, o), new_ema, ema)
+            else:
+                ema = new_ema
         gnorm = optax.global_norm(grads)
         return (TrainState(step=state.step + 1, params=params,
                            opt_state=opt_state, ema_params=ema),

@@ -49,7 +49,6 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
                    run_cfg: RunConfig,
                    batches: Iterator[dict],
                    params: dict,
-                   tokenize: Optional[Callable] = None,
                    log_fn: Optional[Callable[[dict], None]] = None,
                    validation_fn: Optional[Callable] = None) -> TrainState:
     """`batches` yields {'images': (B,H,W,3) in [-1,1], 'input_ids': (B,S)} or
@@ -89,6 +88,7 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
     log_path = os.path.join(run_cfg.out_dir, "train_log.jsonl")
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
+    completed = start_step
     # resume-time data skipping: drop the batches the interrupted run already
     # consumed so the data stream continues where it left off (reference step
     # arithmetic: train_relufied_sd.py:976-1000). Materialize the iterator
@@ -124,16 +124,25 @@ def train_relufied(pipeline_cfg: PipelineConfig, train_cfg: TrainConfig,
                     f.write(json.dumps(rec) + "\n")
                 if log_fn:
                     log_fn(rec)
-            if step > 0 and step % run_cfg.checkpoint_every == 0:
-                save_checkpoint(ckpt_dir, jax.device_get(state), step,
+            completed = step + 1
+            # checkpoint labels are STEPS COMPLETED: a restore at label N
+            # resumes at loop index N and skips N batches, so batch N-1 is
+            # never re-trained (labeling by loop index was off by one: the
+            # saved state had already consumed its own step's batch)
+            if completed % run_cfg.checkpoint_every == 0:
+                save_checkpoint(ckpt_dir, jax.device_get(state), completed,
                                 run_cfg.max_checkpoints)
             if (validation_fn is not None and run_cfg.validation_every > 0
                     and step > 0 and step % run_cfg.validation_every == 0):
                 val_params = (state.ema_params if state.ema_params is not None
                               else state.params)
                 validation_fn(jax.device_get(val_params), step)
-    save_checkpoint(ckpt_dir, jax.device_get(state),
-                    int(state.step), run_cfg.max_checkpoints)
+    if (completed > start_step
+            and completed % run_cfg.checkpoint_every != 0):
+        # skip when nothing ran (a resumed finished run would re-save an
+        # existing step and orbax raises) or the loop just saved this label
+        save_checkpoint(ckpt_dir, jax.device_get(state), completed,
+                        run_cfg.max_checkpoints)
     return state
 
 
