@@ -24,9 +24,9 @@ def measure_sparsity(pipe, params, tokenize, prompts: Sequence[str],
     """Returns {layer: (T,) mean zero-fraction}; optionally writes sparsity.json."""
     acc = TapAccumulator()
     tap = TapSpec(gate_sparsity=True)
-    for prompt in prompts:
-        cond = tokenize([prompt])
-        uncond = np.zeros_like(cond)
+    uncond = np.asarray(tokenize([""]))   # real empty-prompt encoding (BOS/EOS),
+    for prompt in prompts:                # not all-zero ids ('!!!…') that would
+        cond = tokenize([prompt])         # skew the CFG pass and the stats
         _, taps = pipe.generate(params, cond, uncond, jax.random.PRNGKey(seed),
                                 num_steps=num_steps, tap=tap, decode=False)
         acc.update({l: np.asarray(v) for l, v in taps["gate_sparsity"].items()})

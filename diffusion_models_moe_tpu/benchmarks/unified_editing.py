@@ -11,20 +11,22 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
 
 from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
-    ConceptChecker, MemorizedPromptChecker)
+    MemorizedPromptChecker)
 from diffusion_models_moe_tpu.erasure.masks import (MaskDict, union_masks,
                                                     wanda_removal_interventions)
 
 
 @dataclasses.dataclass
 class ConceptBank:
-    """Per-concept checkers + masks (flax orientation (T|1, H, D) or (H, D))."""
+    """Per-concept checkers + masks in the REFERENCE wanda orientation
+    ((T|1, D, H) or (D, H) — what `wanda_pipeline` emits and the CLI stores;
+    `wanda_removal_interventions` transposes to the flax kernel layout)."""
     checkers: dict[str, object]           # name -> callable(prompt_embs)->bool[]
     masks: dict[str, MaskDict]
 
@@ -36,7 +38,13 @@ class ConceptBank:
         per_concept = {}
         for name, checker in self.checkers.items():
             if isinstance(checker, MemorizedPromptChecker):
-                per_concept[name] = checker(prompts or [])
+                if prompts is None:
+                    # a silent [] here would zero-length the routing table and
+                    # drop every prompt from the benchmark
+                    raise ValueError(
+                        f"checker {name!r} needs the raw prompts — pass "
+                        f"route(prompt_embs, prompts=...)")
+                per_concept[name] = checker(prompts)
             else:
                 per_concept[name] = checker(prompt_embs)
         n = len(next(iter(per_concept.values())))
@@ -48,8 +56,8 @@ class ConceptBank:
 
 def unified_editing_eval(pipe, params, tokenize, prompts: Sequence[str],
                          prompt_embs: np.ndarray, bank: ConceptBank,
-                         out_dir: str, num_steps: int = 50, seed: int = 0,
-                         batch_hook: Optional[Callable] = None) -> dict:
+                         out_dir: str, num_steps: int = 50,
+                         seed: int = 0) -> dict:
     """Route every prompt, apply the union of fired concepts' masks, generate.
 
     Returns routing decisions + generation summary. Images land in

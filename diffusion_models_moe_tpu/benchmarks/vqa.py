@@ -27,8 +27,16 @@ def load_transformers_vqa(model_path: str) -> VQAFn:
     pipe = hf_pipeline("image-text-to-text", model=model_path, device=-1)
 
     def vqa(image, question: str) -> str:
-        out = pipe(images=image, text=question, max_new_tokens=32)
-        return out[0]["generated_text"] if isinstance(out, list) else str(out)
+        # return_full_text=False: the pipeline otherwise ECHOES the question
+        # before the answer, and the parsers would match tokens from the
+        # question itself ('yes or no' -> always yes; '(1)cat' -> always 1)
+        out = pipe(images=image, text=question, max_new_tokens=32,
+                   return_full_text=False)
+        text = out[0]["generated_text"] if isinstance(out, list) else str(out)
+        # belt-and-braces for backends that ignore the flag
+        if text.startswith(question):
+            text = text[len(question):]
+        return text
 
     return vqa
 

@@ -27,8 +27,8 @@ def _greedy_balanced_assign(dist: np.ndarray, size: int) -> np.ndarray:
     denied their best cluster (best-vs-second margin), assign to the nearest
     cluster with remaining capacity."""
     n, k = dist.shape
-    order = np.argsort(np.partition(dist, 1, axis=1)[:, 0]
-                       - np.partition(dist, 1, axis=1)[:, 1])  # most to lose first
+    part = np.partition(dist, 1, axis=1)
+    order = np.argsort(part[:, 0] - part[:, 1])    # most to lose first
     capacity = np.full(k, size, np.int64)
     labels = np.full(n, -1, np.int64)
     ranked = np.argsort(dist, axis=1)

@@ -43,8 +43,15 @@ def create_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
 
 # (regex on 'a/b/c' joined param path) -> PartitionSpec
 _UNET_RULES = [
-    (r".*/ff/proj/kernel$", P(None, "tp")),          # (D, 2H): shard both halves
-    (r".*/ff/proj/bias$", P("tp",)),
+    # GEGLU proj (D, 2H) stays REPLICATED: P(None, 'tp') would split the
+    # concatenated axis so the whole hidden half lands on one device and the
+    # whole gate half on another — hidden*gelu(gate) then forces full H-wide
+    # resharding every FF call. True Megatron-style GEGLU tp needs the halves
+    # sharded congruently (an interleaved/(D,2,H) layout), which the ported
+    # 2H-fused param cannot express; the out_proj contraction below still
+    # gives row-parallel FF tp.
+    (r".*/ff/proj/kernel$", P(None, None)),
+    (r".*/ff/proj/bias$", P(None,)),
     (r".*/ff/out_proj_kernel$", P("tp", None)),      # (H, D): contract over tp
     (r".*/attn\d/to_[qkv]/kernel$", P(None, "tp")),  # shard heads
     (r".*/attn\d/to_out/kernel$", P("tp", None)),

@@ -90,7 +90,9 @@ def test_param_shardings_tp_axes():
                        jnp.zeros((1, 16, cfg.cross_attention_dim)))["params"]
     sh = param_shardings(params, mesh)
     ff = sh["down_0_attn_0"]["transformer_blocks_0"]["ff"]
-    assert ff["proj"]["kernel"].spec == jax.sharding.PartitionSpec(None, "tp")
+    # GEGLU proj replicates: P(None,'tp') on the fused (D, 2H) axis would put
+    # the hidden half and the gate half on disjoint devices (see mesh.py rule)
+    assert ff["proj"]["kernel"].spec == jax.sharding.PartitionSpec(None, None)
     assert ff["out_proj_kernel"].spec == jax.sharding.PartitionSpec("tp", None)
     assert sh["conv_in"]["kernel"].spec == jax.sharding.PartitionSpec()
 
