@@ -184,8 +184,24 @@ class GEGLUFeedForward(nn.Module):
         gated = self.activation in ("geglu", "geglu-relu")
         t = 0 if step_idx is None else step_idx
 
+        import os
+        # DMOE_FF_2D experiment: run the FF dots on (B*S, C)-flattened
+        # activations. Bitwise identical (dots contract the same last axis);
+        # the hypothesis is that 2D operands steer XLA's layout assignment away
+        # from the sequence-minor activation layouts it picks around the flash
+        # custom-call (profiled: FF dots at ~36% MXU from in-fusion
+        # transposes). Only taken on the tap-free hot path — the stat sows
+        # index (batch, seq) axes.
+        collecting = tap is not None and (
+            tap.any_gate_stat() or tap.any_expert_stat()
+            or tap.ff_out_colnorm_sq)
+        shape3 = x.shape
+        flat2d = (os.environ.get("DMOE_FF_2D", "0") == "1"
+                  and not collecting and x.ndim == 3)
+        if flat2d:
+            x = x.reshape(-1, shape3[-1])
+
         if gated:
-            import os
             split = os.environ.get("DMOE_SPLIT_PROJ", "1") == "1"
             hidden, gate = _GEGLUProj(2 * hidden_dim, split=split,
                                       dtype=self.dtype, quant=self.quant,
@@ -208,9 +224,8 @@ class GEGLUFeedForward(nn.Module):
         if iv is not None and iv.neuron_mask is not None:
             # RemoveNeurons: overwrite skilled neurons with the fill value
             # (reference: neuron_receivers/remove_skilled_neurons.py:36-51).
-            m = iv.neuron_mask[t]                      # (H,) bool
-            gate = jnp.where(m[None, None, :],
-                             jnp.asarray(iv.neuron_fill, gate.dtype), gate)
+            m = iv.neuron_mask[t]                      # (H,) bool, broadcasts
+            gate = jnp.where(m, jnp.asarray(iv.neuron_fill, gate.dtype), gate)
 
         routed_fused = False
         if iv is not None and iv.patterns is not None and iv.k > 0:
@@ -278,8 +293,10 @@ class GEGLUFeedForward(nn.Module):
             kernel = kernel * (1.0 - wm.astype(kernel.dtype))
         if self.quant:
             from diffusion_models_moe_tpu.ops.quant import int8_dot
-            return int8_dot(y, kernel) + bias.astype(self.dtype)
-        return y @ kernel + bias.astype(self.dtype)
+            out = int8_dot(y, kernel) + bias.astype(self.dtype)
+        else:
+            out = y @ kernel + bias.astype(self.dtype)
+        return out.reshape(shape3[:-1] + out.shape[-1:]) if flat2d else out
 
     def _sow_gate_stats(self, gate, tap: TapSpec, iv):
         g = gate.reshape(-1, gate.shape[-1]).astype(jnp.float32)

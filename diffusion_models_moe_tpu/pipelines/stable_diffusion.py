@@ -321,7 +321,14 @@ class StableDiffusionPipeline:
             images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
             return images, taps
 
-        fn = jax.jit(run)
+        # DMOE_XLA_OPTS="k=v;k2=v2" forwards XLA/TPU compiler options to this
+        # jit (perf experiments, e.g. xla_tpu_scoped_vmem_limit_kib). Empty
+        # (the default) compiles exactly as before.
+        import os
+        opts_spec = os.environ.get("DMOE_XLA_OPTS", "")
+        opts = (dict(kv.split("=", 1) for kv in opts_spec.split(";") if kv)
+                or None) if opts_spec else None
+        fn = jax.jit(run, compiler_options=opts)
         if len(self._jit_cache) >= 32:
             self._jit_cache.pop(next(iter(self._jit_cache)))
         self._jit_cache[cache_key] = fn

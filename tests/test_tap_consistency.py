@@ -151,3 +151,28 @@ def test_split_proj_bitwise_matches_fused(monkeypatch):
     monkeypatch.setenv("DMOE_SPLIT_PROJ", "1")
     split = ff.apply({"params": params}, x)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
+
+
+def test_ff_2d_flatten_bitwise_matches_3d(monkeypatch):
+    """DMOE_FF_2D (FF dots on (B*S, C)-flattened activations — a layout
+    experiment) is bitwise identical to the 3D path, including under routing
+    and neuron-mask interventions (the (H,) mask broadcasts over any rank)."""
+    from diffusion_models_moe_tpu.models.attention import GEGLUFeedForward
+    from diffusion_models_moe_tpu.taps import (LayerIntervention,
+                                               patterns_from_labels)
+    ff = GEGLUFeedForward(16, 4, use_fused_routing=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    params = ff.init(jax.random.PRNGKey(1), x)["params"]
+    h = 64
+    nm = np.zeros((1, h), bool)
+    nm[0, ::7] = True
+    iv = LayerIntervention(
+        patterns=patterns_from_labels(np.arange(h) % 8, 8), k=3,
+        neuron_mask=jnp.asarray(nm), neuron_fill=-0.17)
+    for given_iv in (None, iv):
+        monkeypatch.setenv("DMOE_FF_2D", "0")
+        y3 = ff.apply({"params": params}, x, step_idx=0, iv=given_iv)
+        monkeypatch.setenv("DMOE_FF_2D", "1")
+        y2 = ff.apply({"params": params}, x, step_idx=0, iv=given_iv)
+        assert y2.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(y3), np.asarray(y2))
