@@ -29,7 +29,12 @@ routing kernel on/off; default follows the config — OFF, since the XLA
 sort-based routing measured faster: 1.0705 vs 0.9758 img/s),
 DMOE_NO_MOE=1 (plain SD, for routing-overhead A/B),
 DMOE_FAST_NORM=1, DMOE_FLASH_BLOCKS=bq,bk, DMOE_DP=1 (shard the batch over all
-local devices with a ('dp',) mesh).
+local devices with a ('dp',) mesh), DMOE_HOOK_SIM=1 (reference-semantics
+mode: doubled FF projection + per-(t,l) gate stat — measured 0.9335 vs 1.0733
+img/s native, a same-chip lower bound on the hook-architecture cost),
+DMOE_XLA_OPTS=k=v;... (compiler options; xla_tpu_scoped_vmem_limit_kib=98304
+measured 1.0083 — slower, rejected), DMOE_FF_2D=1 (2D-flattened FF dots;
+1.0695 — no win, off).
 """
 from __future__ import annotations
 
@@ -101,6 +106,21 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
     if os.environ.get("DMOE_NO_MOE", "0") == "1":
         ivs = None   # plain SD baseline, for measuring routing overhead
 
+    # DMOE_HOOK_SIM=1: reference-semantics measurement on the SAME chip — every
+    # GEGLU FF recomputes its projection behind an optimization barrier (the
+    # hook's proj->chunk->gelu re-derivation, neuron_receivers/moefy.py:10-27)
+    # and a per-(t, l) gate statistic is collected, like the reference's
+    # receivers do. The resulting img/s is an UPPER bound on what the
+    # reference's architecture could reach on this chip (its hooks also copy
+    # full gates to host every call, which a traced program cannot imitate).
+    # native-vs-hook-sim is therefore a measured, same-hardware lower bound on
+    # the architecture-inversion win.
+    hook_sim = os.environ.get("DMOE_HOOK_SIM", "0") == "1"
+    tap = None
+    if hook_sim:
+        from diffusion_models_moe_tpu.taps import TapSpec
+        tap = TapSpec(gate_sparsity=True)
+
     tcfg = cfg.text_encoder
     cond = jax.random.randint(jax.random.PRNGKey(1), (batch, tcfg.max_length),
                               0, tcfg.vocab_size)
@@ -125,7 +145,7 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
 
     def run(key):
         img, _ = pipe.generate(params, cond, uncond, key, num_steps=steps,
-                               ivs=ivs, mesh=mesh)
+                               ivs=ivs, mesh=mesh, tap=tap)
         return float(np.asarray(jax.device_get(checksum(img))))
 
     # warmup/compile
@@ -139,6 +159,8 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
 
     imgs_per_sec = batch * runs / dt
     variant = " int8" if quant else ""
+    if hook_sim:
+        variant += " hook-sim"
     out = {
         "metric": f"moefied SD1.5{variant} images/sec/chip @ {steps} steps "
                   f"(batch {batch})",

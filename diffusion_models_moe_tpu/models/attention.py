@@ -187,11 +187,13 @@ class GEGLUFeedForward(nn.Module):
         import os
         # DMOE_FF_2D experiment: run the FF dots on (B*S, C)-flattened
         # activations. Bitwise identical (dots contract the same last axis);
-        # the hypothesis is that 2D operands steer XLA's layout assignment away
-        # from the sequence-minor activation layouts it picks around the flash
-        # custom-call (profiled: FF dots at ~36% MXU from in-fusion
-        # transposes). Only taken on the tap-free hot path — the stat sows
-        # index (batch, seq) axes.
+        # the hypothesis was that 2D operands steer XLA's layout assignment
+        # away from the sequence-minor activation layouts it picks around the
+        # flash custom-call (profiled: FF dots at ~36% MXU from in-fusion
+        # transposes). Measured on v5e (driver bench): 1.0695 vs 1.0733 img/s
+        # — no win (XLA keeps the same layouts and pays the reshapes), so the
+        # default stays OFF. Only taken on the tap-free hot path — the stat
+        # sows index (batch, seq) axes.
         collecting = tap is not None and (
             tap.any_gate_stat() or tap.any_expert_stat()
             or tap.ff_out_colnorm_sq)
@@ -203,13 +205,35 @@ class GEGLUFeedForward(nn.Module):
 
         if gated:
             split = os.environ.get("DMOE_SPLIT_PROJ", "1") == "1"
-            hidden, gate = _GEGLUProj(2 * hidden_dim, split=split,
-                                      dtype=self.dtype, quant=self.quant,
-                                      name="proj")(x)
+            proj = _GEGLUProj(2 * hidden_dim, split=split,
+                              dtype=self.dtype, quant=self.quant,
+                              name="proj")
+            hidden, gate = proj(x)
             if self.activation == "geglu-relu":
                 gate = jax.nn.relu(gate)
             else:
                 gate = jax.nn.gelu(gate, approximate=False)
+            if os.environ.get("DMOE_HOOK_SIM", "0") == "1":
+                # Reference-semantics simulation: a PyTorch forward hook
+                # recomputes the whole proj->chunk->gelu on every call
+                # (reference: neuron_receivers/moefy.py:10-27 re-derives the
+                # gate from module.proj inside the hook, on top of the
+                # module's own forward). Re-run the projection behind an
+                # optimization barrier (so XLA cannot CSE it) and emit a
+                # gate-dependent scalar so it survives DCE. Used only by
+                # bench.py --hook-sim to measure, on the SAME chip, what the
+                # reference's hook architecture costs vs the traced taps.
+                # This UNDERSTATES the reference's overhead: its hooks also
+                # copy the full (B, S, H) gate to host on all 16 layers x 51
+                # steps, which has no in-jit equivalent. Measured on v5e:
+                # 0.9335 vs 1.0733 img/s — the recompute alone costs 13% even
+                # when XLA fuses everything on-device.
+                h2, g2 = proj(jax.lax.optimization_barrier(x))
+                g2 = (jax.nn.relu(g2) if self.activation == "geglu-relu"
+                      else jax.nn.gelu(g2, approximate=False))
+                self.sow("taps", f"hook_sim_{self.ff_index:02d}",
+                         jnp.sum(g2, dtype=jnp.float32)
+                         + jnp.sum(h2, dtype=jnp.float32))
         else:
             hidden = None
             gate = make_dense(hidden_dim, dtype=self.dtype, quant=self.quant,

@@ -153,6 +153,23 @@ def test_split_proj_bitwise_matches_fused(monkeypatch):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
 
 
+def test_hook_sim_is_observation_only(monkeypatch):
+    """DMOE_HOOK_SIM (bench-only reference-semantics mode: the FF projection
+    is recomputed behind an optimization barrier, like the reference's forward
+    hooks re-derive proj->chunk->gelu on every call) must not change the FF
+    output, and must sow a per-layer hook_sim scalar."""
+    from diffusion_models_moe_tpu.models.attention import GEGLUFeedForward
+    ff = GEGLUFeedForward(16, 4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    params = ff.init(jax.random.PRNGKey(1), x)["params"]
+    monkeypatch.delenv("DMOE_HOOK_SIM", raising=False)
+    y0 = ff.apply({"params": params}, x)
+    monkeypatch.setenv("DMOE_HOOK_SIM", "1")
+    y1, taps = ff.apply({"params": params}, x, mutable=["taps"])
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    assert "hook_sim_00" in taps["taps"]
+
+
 def test_ff_2d_flatten_bitwise_matches_3d(monkeypatch):
     """DMOE_FF_2D (FF dots on (B*S, C)-flattened activations — a layout
     experiment) is bitwise identical to the 3D path, including under routing
