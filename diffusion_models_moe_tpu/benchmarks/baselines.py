@@ -45,7 +45,13 @@ BASELINES: dict[str, BaselineSpec] = {
     "selective-amnesia": BaselineSpec("sd15-edited",
                                       "Selective Amnesia checkpoint"),
     "sld": BaselineSpec("sd15-sld", "SD1.4 + Safe Latent Diffusion guidance"),
-    "sd2": BaselineSpec("sd2x", "Stable Diffusion 2 base (512, epsilon)"),
+    # the reference's SD2 comparison model is stabilityai/stable-diffusion-2
+    # — the 768 v-prediction model (utils.py:91-95 pairs it with Euler; here
+    # the v-pred path runs ddim/dpm, since euler+v-pred is rejected as
+    # numerically unsupported — pipelines/stable_diffusion.py:63-74)
+    "sd2": BaselineSpec("sd2x", "Stable Diffusion 2 (768, v-pred)",
+                        v_prediction=True),
+    "sd2-base": BaselineSpec("sd2x", "Stable Diffusion 2 base (512, epsilon)"),
     "sd2.1": BaselineSpec("sd2x", "Stable Diffusion 2.1 (768, v-pred)",
                           v_prediction=True),
     # this framework's own product path: a union-timesteps baked checkpoint

@@ -186,9 +186,10 @@ def sd21_config(dtype=jnp.bfloat16, v_prediction: bool = True) -> PipelineConfig
 
 def sdxl_config(dtype=jnp.bfloat16, lcm: bool = False) -> PipelineConfig:
     """SDXL-base UNet geometry (reference loads SDXL and LCM-SDXL variants:
-    utils.py:64-138, experiments/mod_config.yaml:27). Dual-text-encoder pipeline
-    wiring is roadmap; the UNet accepts precomputed 2048-dim context plus pooled
-    text (1280) and time_ids micro-conditioning."""
+    utils.py:64-138, experiments/mod_config.yaml:27). The dual-text-encoder
+    pipeline (CLIP-L + bigG penultimate concat, pooled bigG projection,
+    time_ids micro-conditioning) is `pipelines/sdxl.py:SDXLPipeline`; the raw
+    UNet also accepts precomputed 2048-dim context directly."""
     return PipelineConfig(
         unet=UNetConfig(
             block_out_channels=(320, 640, 1280),

@@ -178,12 +178,23 @@ class ServingEngine:
             try:
                 self._run_batch(batch)
             except Exception as e:              # surface, don't kill the loop
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(e)
+                self._fail_batch(batch, e)
             finally:
                 for _ in batch:
                     self._queue.task_done()
+
+    @staticmethod
+    def _fail_batch(batch: list, e: Exception) -> None:
+        """Propagate a batch failure to every unresolved future.
+
+        done() filters futures _run_batch already resolved; the
+        set_running_or_notify_cancel transition then closes the race where a
+        client cancel() lands between the check and set_exception (the
+        InvalidStateError would kill the executor thread)."""
+        for req in batch:
+            if (not req.future.done()
+                    and req.future.set_running_or_notify_cancel()):
+                req.future.set_exception(e)
 
     def _run_batch(self, batch: list) -> None:
         n_real = len(batch)

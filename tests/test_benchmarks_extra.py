@@ -186,6 +186,10 @@ def test_baseline_registry_and_dispatch():
                  "union-timesteps"):
         assert name in BASELINES
     assert BASELINES["sd2.1"].v_prediction
+    # the reference's SD2 comparison model is the 768 v-prediction pipeline
+    # (utils.py:91-95); the epsilon 512 variant is the separate sd2-base row
+    assert BASELINES["sd2"].v_prediction
+    assert not BASELINES["sd2-base"].v_prediction
 
     pipe = StableDiffusionPipeline(tiny_config())
     params = pipe.init_params(jax.random.PRNGKey(0))

@@ -101,3 +101,48 @@ def test_lcm_per_sample_seeds_are_batch_independent():
                             num_steps=3, decode=False,
                             seeds=np.asarray([1000, 7]))
     np.testing.assert_array_equal(np.asarray(lat1[0]), np.asarray(lat2[1]))
+
+
+def test_failing_batch_with_cancelled_future_keeps_executor_alive():
+    """A cancelled future inside a failing batch must not raise
+    InvalidStateError out of the exception handler (which would kill the
+    executor thread); unresolved futures get the batch error, and the engine
+    keeps serving afterwards."""
+    from concurrent.futures import Future
+
+    from diffusion_models_moe_tpu.serving import ServingEngine, _Request
+
+    cancelled = Future()
+    assert cancelled.cancel()
+    pending = Future()
+    resolved = Future()
+    resolved.set_running_or_notify_cancel()
+    resolved.set_result("already done")
+
+    batch = [_Request("a", 0, cancelled), _Request("b", 1, pending),
+             _Request("c", 2, resolved)]
+    err = RuntimeError("batch exploded")
+    ServingEngine._fail_batch(batch, err)      # must not raise
+    assert pending.exception() is err
+    assert cancelled.cancelled()
+    assert resolved.result() == "already done"
+
+    # and end-to-end: a poisoned batch doesn't kill the loop
+    pipe, params, tokenize = _make()
+    eng = ServingEngine(pipe, params, tokenize, batch_size=2, num_steps=2,
+                        max_wait_ms=200.0, decode=False)
+    real_run = ServingEngine._run_batch
+    calls = {"n": 0}
+
+    def flaky(self, batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("first batch fails")
+        return real_run(self, batch)
+
+    eng._run_batch = flaky.__get__(eng)
+    with eng:
+        bad = eng.submit("x", seed=1)
+        assert isinstance(bad.exception(timeout=60), RuntimeError)
+        ok = eng.submit("y", seed=2)
+        assert ok.result(timeout=120).shape[-1] == 4   # latents, engine alive
