@@ -364,7 +364,11 @@ class GEGLUFeedForward(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, residual each."""
+    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, residual each.
+
+    LayerNorm epsilon is 1e-5 — torch's default, which diffusers'
+    BasicTransformerBlock inherits (flax's default is 1e-6; parity pinned by
+    tests/test_unet_torch_parity.py)."""
     dim: int
     heads: int
     context_dim: int
@@ -380,18 +384,18 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
         from diffusion_models_moe_tpu.models.layers import maybe_barrier
-        h = nn.LayerNorm(dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, dtype=self.dtype,
                           flash=self.flash_attention, quant=self.quant,
                           name="attn1")(maybe_barrier(h, "DMOE_LN_BARRIER"))
-        h = nn.LayerNorm(dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
                           dtype=self.dtype, flash=self.flash_attention,
                           quant=self.quant,
                           name="attn2")(maybe_barrier(h, "DMOE_LN_BARRIER"),
                                         context)
         x = maybe_barrier(x, "DMOE_RESID_BARRIER")
-        h = nn.LayerNorm(dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
         h = maybe_barrier(h, "DMOE_LN_BARRIER")
         x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
                                  ff_index=self.ff_index, dtype=self.dtype,
