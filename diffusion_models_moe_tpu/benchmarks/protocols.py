@@ -181,3 +181,29 @@ def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
     with open(os.path.join(out_dir, "artist_removal_results.json"), "w") as f:
         json.dump(result, f)
     return result
+
+
+def clip_iqa_protocol(images_base, images_concept, images_removed,
+                      image_featurizer, text_featurizer, concept: str,
+                      out_dir: Optional[str] = None) -> dict:
+    """CLIP-IQA quality/concept report over a removal experiment — the
+    reference's clip_score.py main loop (modularity/clip_score.py:85-140):
+    score base-prompt images, concept-prompt images, and post-removal images
+    with prompts ("quality", "noisiness", "sharpness", per-concept test pair),
+    report mean quality + mean concept probability per split.
+
+    `images_*` are (N, H, W, 3) float arrays in [0, 1] (e.g. from the runner's
+    saved PNGs via `_load_pngs`); featurizers as in `ClipIQA`."""
+    from diffusion_models_moe_tpu.benchmarks.clip_iqa import (
+        ClipIQA, design_test_prompt, removal_quality_report)
+
+    pair, _dof = design_test_prompt(concept)
+    scorer = ClipIQA(image_featurizer, text_featurizer,
+                     prompts=("quality", "noisiness", "sharpness", pair))
+    report = removal_quality_report(scorer(np.stack(images_base)),
+                                    scorer(np.stack(images_concept)),
+                                    scorer(np.stack(images_removed)))
+    if out_dir is not None:
+        with open(os.path.join(out_dir, "clip_iqa_scores.json"), "w") as f:
+            json.dump(report, f)
+    return report

@@ -111,6 +111,35 @@ def export_unet(params: dict, cfg: UNetConfig) -> dict[str, np.ndarray]:
     return sd
 
 
+def export_vae_decoder(params: dict, cfg) -> dict[str, np.ndarray]:
+    """VAEDecoder params -> diffusers AutoencoderKL decoder-side state dict
+    (the inverse of weights/port.py:port_vae_decoder; modern to_q/to_k/to_v
+    attention naming). Lets full pipelines round-trip to diffusers layout, and
+    anchors the torch-mirror golden test (tests/test_vae_torch_parity.py)."""
+    sd: dict[str, np.ndarray] = {}
+    _emit(sd, "post_quant_conv", _conv(params["post_quant_conv"]))
+    _emit(sd, "decoder.conv_in", _conv(params["conv_in"]))
+    _emit(sd, "decoder.conv_out", _conv(params["conv_out"]))
+    _emit(sd, "decoder.conv_norm_out", _norm(params["conv_norm_out"]))
+    _resnet(sd, "decoder.mid_block.resnets.0", params["mid"]["res_0"])
+    _resnet(sd, "decoder.mid_block.resnets.1", params["mid"]["res_1"])
+    a = params["mid"]["attn"]
+    _emit(sd, "decoder.mid_block.attentions.0.group_norm",
+          _norm(a["group_norm"]))
+    for proj in ("to_q", "to_k", "to_v"):
+        _emit(sd, f"decoder.mid_block.attentions.0.{proj}", _linear(a[proj]))
+    _emit(sd, "decoder.mid_block.attentions.0.to_out.0", _linear(a["to_out"]))
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block + 1):
+            _resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}",
+                    params[f"up_{i}_res_{j}"])
+        if i < n_blocks - 1:
+            _emit(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                  _conv(params[f"up_{i}_upsample"]["conv"]))
+    return sd
+
+
 def save_safetensors(sd: dict[str, np.ndarray], path: str) -> None:
     import os
     from safetensors.numpy import save_file
