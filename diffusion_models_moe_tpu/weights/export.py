@@ -140,6 +140,33 @@ def export_vae_decoder(params: dict, cfg) -> dict[str, np.ndarray]:
     return sd
 
 
+def export_vae_encoder(params: dict, cfg) -> dict[str, np.ndarray]:
+    """VAEEncoder params -> diffusers AutoencoderKL encoder-side state dict
+    (inverse of weights/port.py:port_vae_encoder)."""
+    sd: dict[str, np.ndarray] = {}
+    _emit(sd, "quant_conv", _conv(params["quant_conv"]))
+    _emit(sd, "encoder.conv_in", _conv(params["conv_in"]))
+    _emit(sd, "encoder.conv_out", _conv(params["conv_out"]))
+    _emit(sd, "encoder.conv_norm_out", _norm(params["conv_norm_out"]))
+    _resnet(sd, "encoder.mid_block.resnets.0", params["mid"]["res_0"])
+    _resnet(sd, "encoder.mid_block.resnets.1", params["mid"]["res_1"])
+    a = params["mid"]["attn"]
+    _emit(sd, "encoder.mid_block.attentions.0.group_norm",
+          _norm(a["group_norm"]))
+    for proj in ("to_q", "to_k", "to_v"):
+        _emit(sd, f"encoder.mid_block.attentions.0.{proj}", _linear(a[proj]))
+    _emit(sd, "encoder.mid_block.attentions.0.to_out.0", _linear(a["to_out"]))
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block):
+            _resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}",
+                    params[f"down_{i}_res_{j}"])
+        if i < n_blocks - 1:
+            _emit(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                  _conv(params[f"down_{i}_downsample"]))
+    return sd
+
+
 def save_safetensors(sd: dict[str, np.ndarray], path: str) -> None:
     import os
     from safetensors.numpy import save_file

@@ -196,27 +196,32 @@ def port_clip_text(snapshot_dir: str, cfg: CLIPTextConfig) -> dict:
     return params
 
 
+def _vae_attention(sd, p):
+    """Mid-block single-head attention; modern diffusers uses
+    to_q/to_k/to_v/to_out.0, old checkpoints query/key/value/proj_attn
+    (sometimes as 1x1 convs — squeezed here)."""
+    if f"{p}.to_q.weight" in sd:
+        names = ("to_q", "to_k", "to_v", "to_out.0")
+    else:
+        names = ("query", "key", "value", "proj_attn")
+
+    def sq(prefix):
+        w = sd[f"{prefix}.weight"]
+        if w.ndim == 4:
+            w = w[:, :, 0, 0]
+        return {"kernel": np.ascontiguousarray(w.T),
+                "bias": sd[f"{prefix}.bias"]}
+
+    return {"group_norm": _norm(sd, f"{p}.group_norm"),
+            "to_q": sq(f"{p}.{names[0]}"), "to_k": sq(f"{p}.{names[1]}"),
+            "to_v": sq(f"{p}.{names[2]}"), "to_out": sq(f"{p}.{names[3]}")}
+
+
 def port_vae_decoder(snapshot_dir: str, cfg: VAEConfig) -> dict:
     """diffusers AutoencoderKL safetensors -> VAEDecoder params."""
     path = os.path.join(snapshot_dir, "diffusion_pytorch_model.safetensors")
     sd = _load_safetensors(path)
-
-    def attn(p):
-        # modern diffusers uses to_q/to_k/to_v/to_out.0; old uses query/key/value
-        if f"{p}.to_q.weight" in sd:
-            names = ("to_q", "to_k", "to_v", "to_out.0")
-        else:
-            names = ("query", "key", "value", "proj_attn")
-        def sq(prefix):
-            lin = {"kernel": sd[f"{prefix}.weight"],
-                   "bias": sd[f"{prefix}.bias"]}
-            w = lin["kernel"]
-            if w.ndim == 4:
-                w = w[:, :, 0, 0]
-            return {"kernel": np.ascontiguousarray(w.T), "bias": lin["bias"]}
-        return {"group_norm": _norm(sd, f"{p}.group_norm"),
-                "to_q": sq(f"{p}.{names[0]}"), "to_k": sq(f"{p}.{names[1]}"),
-                "to_v": sq(f"{p}.{names[2]}"), "to_out": sq(f"{p}.{names[3]}")}
+    attn = lambda p: _vae_attention(sd, p)  # noqa: E731
 
     dec = "decoder."
     params = {
@@ -241,14 +246,51 @@ def port_vae_decoder(snapshot_dir: str, cfg: VAEConfig) -> dict:
     return params
 
 
-def port_pipeline(snapshot_root: str, config) -> dict:
-    """Port a full SD snapshot: {root}/unet, {root}/text_encoder, {root}/vae."""
-    return {
+def port_vae_encoder(snapshot_dir: str, cfg: VAEConfig) -> dict:
+    """diffusers AutoencoderKL safetensors -> VAEEncoder params (the training
+    path's vae.encode side; reference loads the full AutoencoderKL for
+    fine-tuning, train_relufied_sd.py:640-675)."""
+    path = os.path.join(snapshot_dir, "diffusion_pytorch_model.safetensors")
+    sd = _load_safetensors(path)
+    enc = "encoder."
+    params = {
+        "quant_conv": _conv(sd, "quant_conv"),
+        "conv_in": _conv(sd, f"{enc}conv_in"),
+        "conv_out": _conv(sd, f"{enc}conv_out"),
+        "conv_norm_out": _norm(sd, f"{enc}conv_norm_out"),
+        "mid": {
+            "res_0": _resnet(sd, f"{enc}mid_block.resnets.0"),
+            "res_1": _resnet(sd, f"{enc}mid_block.resnets.1"),
+            "attn": _vae_attention(sd, f"{enc}mid_block.attentions.0"),
+        },
+    }
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block):
+            params[f"down_{i}_res_{j}"] = _resnet(
+                sd, f"{enc}down_blocks.{i}.resnets.{j}")
+        if i < n_blocks - 1:
+            params[f"down_{i}_downsample"] = _conv(
+                sd, f"{enc}down_blocks.{i}.downsamplers.0.conv")
+    return params
+
+
+def port_pipeline(snapshot_root: str, config,
+                  include_vae_encoder: bool = False) -> dict:
+    """Port a full SD snapshot: {root}/unet, {root}/text_encoder, {root}/vae.
+
+    `include_vae_encoder=True` adds the 'vae_encoder' tree the training loop
+    consumes (trainer.train_relufied raw-image batches)."""
+    out = {
         "unet": port_unet(os.path.join(snapshot_root, "unet"), config.unet),
         "text_encoder": port_clip_text(
             os.path.join(snapshot_root, "text_encoder"), config.text_encoder),
         "vae": port_vae_decoder(os.path.join(snapshot_root, "vae"), config.vae),
     }
+    if include_vae_encoder:
+        out["vae_encoder"] = port_vae_encoder(
+            os.path.join(snapshot_root, "vae"), config.vae)
+    return out
 
 
 def port_sdxl_pipeline(snapshot_root: str, config,
