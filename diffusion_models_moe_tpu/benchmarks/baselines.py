@@ -63,7 +63,12 @@ BASELINES: dict[str, BaselineSpec] = {
 
 def load_baseline(name: str, snapshot: str, dtype=jnp.bfloat16):
     """-> (pipe, params, generate_kwargs). `snapshot` is a local
-    diffusers-layout directory for the baseline's checkpoint."""
+    diffusers-layout directory for the baseline's checkpoint.
+
+    NOTE: 'sd2' is the 768 v-prediction model (the reference's comparison
+    model, utils.py:91-95); point an SD2-base (512, epsilon) checkpoint at
+    'sd2-base' instead — v-pred decoding of an epsilon model produces garbage
+    with no error."""
     from diffusion_models_moe_tpu import (StableDiffusionPipeline,
                                           sd15_config, sd21_config)
     from diffusion_models_moe_tpu.weights.port import port_pipeline

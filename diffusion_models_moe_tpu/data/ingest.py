@@ -99,8 +99,43 @@ def image_caption_batches(
         epoch += 1
 
 
+def prefetch(batches: Iterator[dict], depth: int = 2) -> Iterator[dict]:
+    """Overlap host-side decode/augment with device compute: a daemon thread
+    keeps up to `depth` batches ready while the jitted train step runs (the
+    role of the reference's multi-worker torch DataLoader,
+    train_relufied_sd.py:898). Exceptions from the producer re-raise at the
+    consumer's next pull."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True,
+                     name="dmoe-ingest-prefetch").start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def imagefolder_batches(root: str, tokenize, batch_size: int,
-                        caption_col: str = "text", **kw) -> Iterator[dict]:
-    """`image_caption_batches` over an imagefolder (metadata.{csv,jsonl})."""
+                        caption_col: str = "text", prefetch_depth: int = 2,
+                        **kw) -> Iterator[dict]:
+    """`image_caption_batches` over an imagefolder (metadata.{csv,jsonl}),
+    prefetched so PIL decode overlaps the train step (`prefetch_depth=0`
+    disables)."""
     paths, captions = read_metadata(root, caption_col=caption_col)
-    return image_caption_batches(paths, captions, tokenize, batch_size, **kw)
+    it = image_caption_batches(paths, captions, tokenize, batch_size, **kw)
+    return prefetch(it, prefetch_depth) if prefetch_depth > 0 else it

@@ -228,6 +228,16 @@ class GEGLUFeedForward(nn.Module):
                 # steps, which has no in-jit equivalent. Measured on v5e:
                 # 0.9335 vs 1.0733 img/s — the recompute alone costs 13% even
                 # when XLA fuses everything on-device.
+                if not self.is_mutable_collection("taps"):
+                    # without a mutable 'taps' collection the sow below is a
+                    # no-op and XLA DCEs the barriered recompute — the run
+                    # would silently measure the NATIVE path while labeled
+                    # hook-sim. bench.py passes a TapSpec; any other driver
+                    # must too.
+                    raise ValueError(
+                        "DMOE_HOOK_SIM=1 requires running with taps "
+                        "(mutable 'taps' collection); pass a TapSpec to "
+                        "generate() or unset DMOE_HOOK_SIM")
                 h2, g2 = proj(jax.lax.optimization_barrier(x))
                 g2 = (jax.nn.relu(g2) if self.activation == "geglu-relu"
                       else jax.nn.gelu(g2, approximate=False))

@@ -123,7 +123,12 @@ class ServingEngine:
                     req = self._queue.get_nowait()
                 except queue.Empty:
                     break
-                req.future.set_exception(RuntimeError("engine stopped"))
+                # same cancel guard as _fail_batch: a client cancel() on a
+                # still-queued future would make set_exception raise
+                # InvalidStateError here, orphaning the rest of the sweep
+                if (not req.future.done()
+                        and req.future.set_running_or_notify_cancel()):
+                    req.future.set_exception(RuntimeError("engine stopped"))
                 self._queue.task_done()
 
     def __enter__(self) -> "ServingEngine":

@@ -217,10 +217,15 @@ def _vae_attention(sd, p):
             "to_v": sq(f"{p}.{names[2]}"), "to_out": sq(f"{p}.{names[3]}")}
 
 
-def port_vae_decoder(snapshot_dir: str, cfg: VAEConfig) -> dict:
+def _load_vae_sd(snapshot_dir: str) -> dict[str, np.ndarray]:
+    return _load_safetensors(os.path.join(
+        snapshot_dir, "diffusion_pytorch_model.safetensors"))
+
+
+def port_vae_decoder(snapshot_dir: str, cfg: VAEConfig, *,
+                     _sd: dict | None = None) -> dict:
     """diffusers AutoencoderKL safetensors -> VAEDecoder params."""
-    path = os.path.join(snapshot_dir, "diffusion_pytorch_model.safetensors")
-    sd = _load_safetensors(path)
+    sd = _load_vae_sd(snapshot_dir) if _sd is None else _sd
     attn = lambda p: _vae_attention(sd, p)  # noqa: E731
 
     dec = "decoder."
@@ -246,12 +251,12 @@ def port_vae_decoder(snapshot_dir: str, cfg: VAEConfig) -> dict:
     return params
 
 
-def port_vae_encoder(snapshot_dir: str, cfg: VAEConfig) -> dict:
+def port_vae_encoder(snapshot_dir: str, cfg: VAEConfig, *,
+                     _sd: dict | None = None) -> dict:
     """diffusers AutoencoderKL safetensors -> VAEEncoder params (the training
     path's vae.encode side; reference loads the full AutoencoderKL for
     fine-tuning, train_relufied_sd.py:640-675)."""
-    path = os.path.join(snapshot_dir, "diffusion_pytorch_model.safetensors")
-    sd = _load_safetensors(path)
+    sd = _load_vae_sd(snapshot_dir) if _sd is None else _sd
     enc = "encoder."
     params = {
         "quant_conv": _conv(sd, "quant_conv"),
@@ -281,15 +286,16 @@ def port_pipeline(snapshot_root: str, config,
 
     `include_vae_encoder=True` adds the 'vae_encoder' tree the training loop
     consumes (trainer.train_relufied raw-image batches)."""
+    vae_dir = os.path.join(snapshot_root, "vae")
+    vae_sd = _load_vae_sd(vae_dir)      # one read serves decoder and encoder
     out = {
         "unet": port_unet(os.path.join(snapshot_root, "unet"), config.unet),
         "text_encoder": port_clip_text(
             os.path.join(snapshot_root, "text_encoder"), config.text_encoder),
-        "vae": port_vae_decoder(os.path.join(snapshot_root, "vae"), config.vae),
+        "vae": port_vae_decoder(vae_dir, config.vae, _sd=vae_sd),
     }
     if include_vae_encoder:
-        out["vae_encoder"] = port_vae_encoder(
-            os.path.join(snapshot_root, "vae"), config.vae)
+        out["vae_encoder"] = port_vae_encoder(vae_dir, config.vae, _sd=vae_sd)
     return out
 
 

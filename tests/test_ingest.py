@@ -127,3 +127,19 @@ def test_feeds_trainer_contract(tmp_path):
         it, {"unet": unet_params, "vae_encoder": vae_params,
              "text_encoder": text_params})
     assert int(state.step) == 2
+
+
+def test_prefetch_preserves_stream_and_propagates_errors():
+    from diffusion_models_moe_tpu.data.ingest import prefetch
+
+    got = list(prefetch(iter([{"i": 0}, {"i": 1}, {"i": 2}]), depth=2))
+    assert [b["i"] for b in got] == [0, 1, 2]
+
+    def boom():
+        yield {"i": 0}
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom(), depth=1)
+    assert next(it)["i"] == 0
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)

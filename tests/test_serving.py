@@ -146,3 +146,36 @@ def test_failing_batch_with_cancelled_future_keeps_executor_alive():
         assert isinstance(bad.exception(timeout=60), RuntimeError)
         ok = eng.submit("y", seed=2)
         assert ok.result(timeout=120).shape[-1] == 4   # latents, engine alive
+
+
+def test_stop_drain_sweep_tolerates_cancelled_future():
+    """stop()'s raced-in-request sweep needs the same cancel guard as
+    _fail_batch: a client cancel() on a still-queued future must not raise
+    InvalidStateError out of stop(), and later queued futures still get the
+    'engine stopped' error."""
+    import threading
+    from concurrent.futures import Future
+
+    from diffusion_models_moe_tpu.serving import ServingEngine, _Request
+
+    eng = ServingEngine.__new__(ServingEngine)  # no jit machinery needed
+    import queue as _q
+    eng._queue = _q.Queue()
+    eng._stop = threading.Event()
+    eng._lifecycle = threading.Lock()
+    t = threading.Thread(target=lambda: None)
+    t.start()
+    t.join()
+    eng._thread = t
+
+    cancelled = Future()
+    assert cancelled.cancel()
+    pending = Future()
+    eng._queue.put(_Request("a", 0, cancelled))
+    eng._queue.put(_Request("b", 1, pending))
+
+    eng.stop(drain=False)                      # must not raise
+    assert cancelled.cancelled()
+    assert isinstance(pending.exception(timeout=1), RuntimeError)
+    assert eng._thread is None
+    assert eng._queue.unfinished_tasks == 0

@@ -193,3 +193,20 @@ def test_ff_2d_flatten_bitwise_matches_3d(monkeypatch):
         y2 = ff.apply({"params": params}, x, step_idx=0, iv=given_iv)
         assert y2.shape == x.shape
         np.testing.assert_array_equal(np.asarray(y3), np.asarray(y2))
+
+
+def test_hook_sim_requires_mutable_taps(monkeypatch):
+    """DMOE_HOOK_SIM=1 without a mutable 'taps' collection must raise: the
+    sow would be a no-op and XLA would DCE the barriered recompute, silently
+    measuring the native path under a hook-sim label."""
+    import pytest
+    from diffusion_models_moe_tpu.models.attention import GEGLUFeedForward
+    monkeypatch.setenv("DMOE_HOOK_SIM", "1")
+    ff = GEGLUFeedForward(8, 2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
+    params = ff.init(jax.random.PRNGKey(1), x, mutable=["params", "taps"])
+    with pytest.raises(ValueError, match="DMOE_HOOK_SIM"):
+        ff.apply({"params": params["params"]}, x)
+    # with taps mutable it runs and sows the recompute checksum
+    out, aux = ff.apply({"params": params["params"]}, x, mutable=["taps"])
+    assert any(k.startswith("hook_sim_") for k in aux["taps"])
