@@ -409,6 +409,84 @@ def _protocol_classifier(args, pipe, params, tokenize, clip_featurize):
     return make_clip_zero_shot_classifier(feat, np.stack(embs))
 
 
+def cmd_train(args):
+    """ReLUfication fine-tune from an imagefolder — the CLI front door to the
+    reference's `accelerate launch train_relufied_sd.py` (its 1,201-line
+    training script; SURVEY.md §2.8). Data: --data-dir with
+    metadata.{csv,jsonl} (HF imagefolder layout, data/ingest.py); model: a
+    diffusers snapshot (--snapshot, VAE encoder included) or the tiny
+    random-init config for smoke runs."""
+    import jax
+    import jax.numpy as jnp
+    _maybe_force_cpu(args)
+    from diffusion_models_moe_tpu import sd15_config, tiny_config
+    from diffusion_models_moe_tpu.data.ingest import imagefolder_batches
+    from diffusion_models_moe_tpu.training.train import TrainConfig
+    from diffusion_models_moe_tpu.training.trainer import (RunConfig,
+                                                           train_relufied)
+
+    if args.snapshot:
+        from diffusion_models_moe_tpu.data.tokenizer import load_tokenizer
+        from diffusion_models_moe_tpu.weights.port import port_pipeline
+        cfg = sd15_config(dtype=jnp.float32, relufied=True)
+        ported = port_pipeline(args.snapshot, cfg, include_vae_encoder=True)
+        params = {"unet": ported["unet"],
+                  "text_encoder": ported["text_encoder"],
+                  "vae_encoder": ported["vae_encoder"]}
+        tokenize = load_tokenizer(os.path.join(args.snapshot, "tokenizer"))
+    else:
+        import dataclasses
+        from diffusion_models_moe_tpu.models.clip_text import CLIPTextEncoder
+        from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+        from diffusion_models_moe_tpu.models.vae import VAEEncoder
+        cfg = tiny_config()
+        cfg = dataclasses.replace(cfg, unet=dataclasses.replace(
+            cfg.unet, ff_activation="geglu-relu"))
+        lat = 8
+        params = {
+            "unet": UNet2DCondition(cfg.unet).init(
+                jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, cfg.text_encoder.max_length,
+                           cfg.unet.cross_attention_dim)))["params"],
+            "text_encoder": CLIPTextEncoder(cfg.text_encoder).init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, cfg.text_encoder.max_length),
+                          jnp.int32))["params"],
+        }
+        vocab, maxlen = cfg.text_encoder.vocab_size, cfg.text_encoder.max_length
+
+        def tokenize(texts):
+            import hashlib
+            digest = hashlib.md5("\x00".join(texts).encode()).digest()
+            rng = np.random.RandomState(
+                int.from_bytes(digest[:4], "little") % (2 ** 31))
+            return rng.randint(0, vocab, (len(texts), maxlen)).astype(np.int32)
+
+    downsample = 2 ** (len(cfg.vae.block_out_channels) - 1)
+    resolution = args.resolution or (512 if args.snapshot else 8 * downsample)
+    if "vae_encoder" not in params:
+        from diffusion_models_moe_tpu.models.vae import VAEEncoder
+        params["vae_encoder"] = VAEEncoder(cfg.vae).init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, resolution, resolution, 3)))["params"]
+
+    batches = imagefolder_batches(
+        args.data_dir, tokenize, batch_size=args.batch,
+        caption_col=args.caption_col, resolution=resolution, seed=args.seed,
+        center_crop=args.center_crop)
+    tcfg = TrainConfig(
+        learning_rate=args.lr, use_ema=args.ema, ft_method=args.ft_method,
+        snr_gamma=args.snr_gamma, lr_schedule=args.lr_schedule,
+        lr_warmup_steps=args.warmup_steps, max_train_steps=args.max_steps,
+        grad_accum_steps=args.grad_accum, optimizer=args.optimizer)
+    rcfg = RunConfig(out_dir=args.out_dir, max_steps=args.max_steps,
+                     checkpoint_every=args.checkpoint_every,
+                     log_every=args.log_every, resume=not args.no_resume)
+    state = train_relufied(cfg, tcfg, rcfg, batches, params)
+    print(json.dumps({"steps": int(state.step), "out_dir": args.out_dir}))
+
+
 def cmd_serve(args):
     """Line-oriented serving loop over the batched engine (serving.py):
     stdin lines `seed<TAB>prompt` (or just `prompt`), PNGs written to
@@ -590,6 +668,31 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".npz of class text embeddings in the featurizer's "
                          "space (objects/debias zero-shot judges)")
     sp.set_defaults(fn=cmd_protocol)
+
+    sp = sub.add_parser("train"); common(sp)
+    sp.add_argument("--data-dir", required=True,
+                    help="imagefolder with metadata.{csv,jsonl}")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--caption-col", default="text")
+    sp.add_argument("--resolution", type=int, default=None,
+                    help="default 512 (snapshot) / tiny-native (random init)")
+    sp.add_argument("--batch", type=int, default=4)
+    sp.add_argument("--lr", type=float, default=1e-5)
+    sp.add_argument("--max-steps", type=int, default=1000)
+    sp.add_argument("--checkpoint-every", type=int, default=500)
+    sp.add_argument("--log-every", type=int, default=50)
+    sp.add_argument("--warmup-steps", type=int, default=0)
+    sp.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine", "linear"])
+    sp.add_argument("--ft-method", default="full")
+    sp.add_argument("--snr-gamma", type=float, default=None)
+    sp.add_argument("--grad-accum", type=int, default=1)
+    sp.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "adafactor"])
+    sp.add_argument("--ema", action="store_true")
+    sp.add_argument("--center-crop", action="store_true")
+    sp.add_argument("--no-resume", action="store_true")
+    sp.set_defaults(fn=cmd_train)
     return p
 
 

@@ -80,3 +80,38 @@ def test_cli_wanda_remove_bake_roundtrip(tmp_path):
     main(["bake-union", "--cpu", "--masks", str(masks_p), "--ratio", "0.3",
           "--out", str(baked)])
     assert baked.exists() and baked.stat().st_size > 0
+
+
+def test_cli_train_smoke(tmp_path, capsys):
+    """cli train: imagefolder -> 2 relufied fine-tune steps -> ckpt + log
+    (the reference's train_relufied_sd.py front door)."""
+    import csv
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    from diffusion_models_moe_tpu.cli import main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (70, 70, 3), np.uint8)).save(
+            str(data / f"i{i}.png"))
+        rows.append({"file_name": f"i{i}.png", "text": f"a photo {i}"})
+    with open(data / "metadata.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["file_name", "text"])
+        w.writeheader()
+        w.writerows(rows)
+
+    main(["train", "--cpu", "--data-dir", str(data),
+          "--out-dir", str(tmp_path / "run"), "--batch", "2",
+          "--max-steps", "2", "--log-every", "1", "--checkpoint-every", "10"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["steps"] == 2
+    logs = [_json.loads(l)
+            for l in open(tmp_path / "run" / "train_log.jsonl")]
+    assert logs and np.isfinite(logs[-1]["loss"])
+    assert (tmp_path / "run" / "checkpoints").is_dir()
