@@ -71,6 +71,28 @@ def plot_metric_vs_threshold(results: Sequence[tuple], out_path: str,
     plt.close(fig)
 
 
+def image_grid(images: Sequence, out_path: str, n_cols: int = 5) -> None:
+    """Stitch images (H, W, 3) uint8/float arrays into one grid PNG — the
+    reference's memorization comparison grids (notebooks/make_mem_grid.py).
+    Row-major fill; short final rows pad with black."""
+    import numpy as np
+    from PIL import Image
+
+    arrs = []
+    for im in images:
+        a = np.asarray(im)
+        if a.dtype != np.uint8:
+            a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
+        arrs.append(a)
+    h, w = arrs[0].shape[:2]
+    n_rows = (len(arrs) + n_cols - 1) // n_cols
+    canvas = np.zeros((n_rows * h, n_cols * w, 3), np.uint8)
+    for i, a in enumerate(arrs):
+        r, c = divmod(i, n_cols)
+        canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = a[:h, :w]
+    Image.fromarray(canvas).save(out_path)
+
+
 def unet_parameter_census(unet_params: dict) -> dict:
     """Share of UNet parameters in FF blocks vs attention vs convs
     (reference: notebooks/unet_parameters.py:10-26)."""

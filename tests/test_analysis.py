@@ -110,3 +110,18 @@ def test_expert_selectors():
         moefy_compare_skilled_experts(sel_b, sel_a), [[False, True, False]])
     m = intersect_over_seeds([np.array([True, True]), np.array([True, False])])
     np.testing.assert_array_equal(m, [True, False])
+
+
+def test_image_grid(tmp_path):
+    """Row-major grid stitch with black padding (reference
+    notebooks/make_mem_grid.py)."""
+    import numpy as np
+    from PIL import Image
+    from diffusion_models_moe_tpu.analysis.plots import image_grid
+
+    imgs = [np.full((4, 4, 3), i / 10.0) for i in range(5)]
+    out = tmp_path / "grid.png"
+    image_grid(imgs, str(out), n_cols=3)
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (8, 12, 3)         # 2 rows x 3 cols of 4px
+    assert (arr[4:, 8:] == 0).all()        # padded slot is black
