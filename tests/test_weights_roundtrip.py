@@ -175,3 +175,44 @@ def test_sdxl_text_projection_matches_transformers(tmp_path):
     eot = np.argmax(ids, axis=-1)
     pooled = np.asarray(hidden)[np.arange(2), eot] @ proj
     np.testing.assert_allclose(pooled, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_clip_vision_golden_vs_transformers(tmp_path):
+    """CLIPVisionEncoder + port_clip_vision match transformers'
+    CLIPVisionModelWithProjection on random weights — the vision tower is the
+    judge backbone (CLIP-FID, IQA, concept checkers, gender ratio), so its
+    porter gets the same golden anchor as the text side."""
+    import torch
+    from safetensors.numpy import save_file
+    from transformers import CLIPVisionConfig as HFVisionConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from diffusion_models_moe_tpu.models.clip_vision import (
+        CLIP_IMAGE_MEAN, CLIP_IMAGE_STD, CLIPVisionConfig, CLIPVisionEncoder)
+    from diffusion_models_moe_tpu.weights.port_vision import port_clip_vision
+
+    cfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           intermediate_size=64, num_layers=2, num_heads=4,
+                           projection_dim=16)
+    hf_cfg = HFVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, projection_dim=16,
+        hidden_act="quick_gelu", attention_dropout=0.0)
+    torch.manual_seed(0)
+    model = CLIPVisionModelWithProjection(hf_cfg).eval()
+    save_file({k: v.detach().numpy() for k, v in model.state_dict().items()},
+              str(tmp_path / "model.safetensors"))
+    params = port_clip_vision(str(tmp_path), cfg)
+
+    rng = np.random.RandomState(1)
+    images = rng.rand(2, 32, 32, 3).astype(np.float32)     # [0, 1], NHWC
+    mean = np.asarray(CLIP_IMAGE_MEAN, np.float32)
+    std = np.asarray(CLIP_IMAGE_STD, np.float32)
+    pixel_values = np.transpose((images - mean) / std, (0, 3, 1, 2))
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            pixel_values)).image_embeds.numpy()
+
+    out = np.asarray(CLIPVisionEncoder(cfg).apply(
+        {"params": params}, jnp.asarray(images), normalize=False))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
