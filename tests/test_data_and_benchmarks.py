@@ -297,3 +297,20 @@ def test_load_sdxl_tokenizers(tmp_path, toy_tokenizer):
     ids1, ids2 = t1(["a photo of a cat"]), t2(["a photo of a cat"])
     np.testing.assert_array_equal(ids1, ids2)
     assert ids1.shape == (1, 8)
+
+
+def test_tokenizer_golden_vs_transformers(toy_tokenizer, tmp_path):
+    """Our CLIP BPE (regex split, lowercase, merges, bos/eos, pad/truncate)
+    matches transformers' CLIPTokenizer on the same vocab/merges files."""
+    import numpy as np
+    pytest.importorskip("transformers")
+    from transformers import CLIPTokenizer as HFTok
+
+    hf = HFTok(vocab_file=str(tmp_path / "vocab.json"),
+               merges_file=str(tmp_path / "merges.txt"))
+    texts = ["a photo of a cat", "A   PHOTO of a DOG", "cat",
+             "dog photo dog photo dog photo dog"]     # truncation case
+    ours = toy_tokenizer(texts)
+    ref = hf(texts, padding="max_length", truncation=True, max_length=8,
+             return_tensors="np")["input_ids"]
+    np.testing.assert_array_equal(np.asarray(ours), ref)
