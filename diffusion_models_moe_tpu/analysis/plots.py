@@ -78,18 +78,28 @@ def image_grid(images: Sequence, out_path: str, n_cols: int = 5) -> None:
     import numpy as np
     from PIL import Image
 
+    if not len(images):
+        raise ValueError("image_grid needs at least one image")
     arrs = []
     for im in images:
         a = np.asarray(im)
         if a.dtype != np.uint8:
             a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
+        if a.ndim == 2:                       # grayscale -> RGB
+            a = np.stack([a] * 3, axis=-1)
+        elif a.shape[-1] == 4:                # drop alpha
+            a = a[..., :3]
+        elif a.shape[-1] != 3:
+            raise ValueError(f"expected (H, W[, 3|4]) image, got {a.shape}")
         arrs.append(a)
-    h, w = arrs[0].shape[:2]
+    # slot size fits the largest image; smaller ones sit top-left on black
+    h = max(a.shape[0] for a in arrs)
+    w = max(a.shape[1] for a in arrs)
     n_rows = (len(arrs) + n_cols - 1) // n_cols
     canvas = np.zeros((n_rows * h, n_cols * w, 3), np.uint8)
     for i, a in enumerate(arrs):
         r, c = divmod(i, n_cols)
-        canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = a[:h, :w]
+        canvas[r * h:r * h + a.shape[0], c * w:c * w + a.shape[1]] = a
     Image.fromarray(canvas).save(out_path)
 
 

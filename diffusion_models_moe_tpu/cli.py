@@ -30,6 +30,19 @@ def _maybe_force_cpu(args):
         jax.config.update("jax_platforms", "cpu")
 
 
+def _hash_tokenize(vocab: int, maxlen: int):
+    """Deterministic fake tokenizer for snapshot-less (tiny/random-init) runs:
+    md5-seeded ids, stable across processes (python's hash() varies with
+    PYTHONHASHSEED, which would break resume-by-skip on restart)."""
+    def tokenize(texts):
+        import hashlib
+        digest = hashlib.md5("\x00".join(texts).encode()).digest()
+        rng = np.random.RandomState(
+            int.from_bytes(digest[:4], "little") % (2 ** 31))
+        return rng.randint(0, vocab, (len(texts), maxlen)).astype(np.int32)
+    return tokenize
+
+
 def _load_pipe(args):
     import jax
     _maybe_force_cpu(args)
@@ -47,17 +60,8 @@ def _load_pipe(args):
     else:
         pipe = StableDiffusionPipeline(tiny_config())
         params = pipe.init_params(jax.random.PRNGKey(0))
-        vocab = pipe.config.text_encoder.vocab_size
-        maxlen = pipe.config.text_encoder.max_length
-
-        def tokenize(texts):
-            # stable across processes (python's hash() varies with
-            # PYTHONHASHSEED, which would break resume-by-skip on restart)
-            import hashlib
-            digest = hashlib.md5("\x00".join(texts).encode()).digest()
-            rng = np.random.RandomState(
-                int.from_bytes(digest[:4], "little") % (2 ** 31))
-            return rng.randint(0, vocab, (len(texts), maxlen)).astype(np.int32)
+        tokenize = _hash_tokenize(pipe.config.text_encoder.vocab_size,
+                                  pipe.config.text_encoder.max_length)
 
     return pipe, params, tokenize
 
@@ -425,6 +429,7 @@ def cmd_train(args):
     from diffusion_models_moe_tpu.training.trainer import (RunConfig,
                                                            train_relufied)
 
+    vae_decoder_params = None        # only needed for validation-image logging
     if args.snapshot:
         from diffusion_models_moe_tpu.data.tokenizer import load_tokenizer
         from diffusion_models_moe_tpu.weights.port import port_pipeline
@@ -433,6 +438,7 @@ def cmd_train(args):
         params = {"unet": ported["unet"],
                   "text_encoder": ported["text_encoder"],
                   "vae_encoder": ported["vae_encoder"]}
+        vae_decoder_params = ported["vae"]
         tokenize = load_tokenizer(os.path.join(args.snapshot, "tokenizer"))
     else:
         import dataclasses
@@ -454,14 +460,8 @@ def cmd_train(args):
                 jnp.zeros((1, cfg.text_encoder.max_length),
                           jnp.int32))["params"],
         }
-        vocab, maxlen = cfg.text_encoder.vocab_size, cfg.text_encoder.max_length
-
-        def tokenize(texts):
-            import hashlib
-            digest = hashlib.md5("\x00".join(texts).encode()).digest()
-            rng = np.random.RandomState(
-                int.from_bytes(digest[:4], "little") % (2 ** 31))
-            return rng.randint(0, vocab, (len(texts), maxlen)).astype(np.int32)
+        tokenize = _hash_tokenize(cfg.text_encoder.vocab_size,
+                                  cfg.text_encoder.max_length)
 
     downsample = 2 ** (len(cfg.vae.block_out_channels) - 1)
     resolution = args.resolution or (512 if args.snapshot else 8 * downsample)
@@ -479,11 +479,32 @@ def cmd_train(args):
         learning_rate=args.lr, use_ema=args.ema, ft_method=args.ft_method,
         snr_gamma=args.snr_gamma, lr_schedule=args.lr_schedule,
         lr_warmup_steps=args.warmup_steps, max_train_steps=args.max_steps,
-        grad_accum_steps=args.grad_accum, optimizer=args.optimizer)
+        grad_accum_steps=args.grad_accum, optimizer=args.optimizer,
+        noise_offset=args.noise_offset,
+        input_perturbation=args.input_perturbation,
+        prediction_type=args.prediction_type)
     rcfg = RunConfig(out_dir=args.out_dir, max_steps=args.max_steps,
                      checkpoint_every=args.checkpoint_every,
-                     log_every=args.log_every, resume=not args.no_resume)
-    state = train_relufied(cfg, tcfg, rcfg, batches, params)
+                     log_every=args.log_every, resume=not args.no_resume,
+                     validation_every=args.validation_every)
+    validation_fn = None
+    if args.validation_every > 0:
+        from diffusion_models_moe_tpu import StableDiffusionPipeline
+        from diffusion_models_moe_tpu.training.trainer import (
+            make_validation_logger)
+        if vae_decoder_params is None:       # tiny path: random-init decoder
+            from diffusion_models_moe_tpu.models.vae import VAEDecoder
+            lat = resolution // downsample
+            vae_decoder_params = VAEDecoder(cfg.vae).init(
+                jax.random.PRNGKey(3), jnp.zeros((1, lat, lat, 4)))["params"]
+        pipe = StableDiffusionPipeline(cfg)
+        full = {"text_encoder": params["text_encoder"],
+                "vae": vae_decoder_params, "unet": params["unet"]}
+        validation_fn = make_validation_logger(
+            pipe, full, tokenize, [args.validation_prompt],
+            os.path.join(args.out_dir, "validation"))
+    state = train_relufied(cfg, tcfg, rcfg, batches, params,
+                           validation_fn=validation_fn)
     print(json.dumps({"steps": int(state.step), "out_dir": args.out_dir}))
 
 
@@ -684,12 +705,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--warmup-steps", type=int, default=0)
     sp.add_argument("--lr-schedule", default="constant",
                     choices=["constant", "cosine", "linear"])
-    sp.add_argument("--ft-method", default="full")
+    # kept in sync with training.train.FT_METHODS (test_cli asserts it; a
+    # live import here would drag jax into `--help`)
+    sp.add_argument("--ft-method", default="full",
+                    choices=["full", "attention", "norm", "bias", "ff",
+                             "norm_bias", "norm_bias_attention"])
     sp.add_argument("--snr-gamma", type=float, default=None)
     sp.add_argument("--grad-accum", type=int, default=1)
     sp.add_argument("--optimizer", default="adamw",
                     choices=["adamw", "adafactor"])
     sp.add_argument("--ema", action="store_true")
+    sp.add_argument("--noise-offset", type=float, default=0.0)
+    sp.add_argument("--input-perturbation", type=float, default=0.0)
+    sp.add_argument("--prediction-type", default="epsilon",
+                    choices=["epsilon", "v_prediction"])
+    sp.add_argument("--validation-every", type=int, default=0,
+                    help="generate a validation image every N steps")
+    sp.add_argument("--validation-prompt", default="a photo of a dog")
     sp.add_argument("--center-crop", action="store_true")
     sp.add_argument("--no-resume", action="store_true")
     sp.set_defaults(fn=cmd_train)

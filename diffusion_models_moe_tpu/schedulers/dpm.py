@@ -44,6 +44,12 @@ class DPMSolverScheduler:
         h = lam[1:] - lam[:-1]                    # (T,)
         h_prev = np.concatenate([[np.nan], h[:-1]])
         r = np.where(np.isnan(h_prev), 1.0, h_prev / np.maximum(h, 1e-12))
+        # diffusers lower_order_final (default True): a first-order update on
+        # the FINAL step when the run has < 15 steps — the 2M correction's
+        # extrapolation is unstable at the last (large-h) step of short runs
+        first_order = np.zeros(len(ts), bool)
+        if len(ts) < 15:
+            first_order[-1] = True
         coeffs = {
             "sigma_ratio": jnp.asarray(s[1:] / s[:-1], jnp.float32),
             "alpha_next": jnp.asarray(a[1:], jnp.float32),
@@ -51,6 +57,7 @@ class DPMSolverScheduler:
             "alpha_cur": jnp.asarray(a[:-1], jnp.float32),
             "em1": jnp.asarray(np.expm1(-h), jnp.float32),   # exp(-h) - 1
             "r": jnp.asarray(np.nan_to_num(r, nan=1.0), jnp.float32),
+            "first_order": jnp.asarray(first_order),
         }
         return jnp.asarray(ts), coeffs, None
 
@@ -64,8 +71,9 @@ class DPMSolverScheduler:
              sample: jax.Array):
         x0 = (sample - coeffs["sigma_cur"][i] * eps) / coeffs["alpha_cur"][i]
         r = coeffs["r"][i]
-        # 2M correction from the second step on
-        d = jnp.where(i == 0, x0,
+        # 2M correction from the second step on; first-order again on the
+        # final step of short (<15-step) runs (diffusers lower_order_final)
+        d = jnp.where(jnp.logical_or(i == 0, coeffs["first_order"][i]), x0,
                       (1.0 + 1.0 / (2.0 * r)) * x0
                       - (1.0 / (2.0 * r)) * state.prev_x0)
         prev = (coeffs["sigma_ratio"][i] * sample

@@ -125,3 +125,22 @@ def test_image_grid(tmp_path):
     arr = np.asarray(Image.open(out))
     assert arr.shape == (8, 12, 3)         # 2 rows x 3 cols of 4px
     assert (arr[4:, 8:] == 0).all()        # padded slot is black
+
+
+def test_image_grid_mixed_inputs(tmp_path):
+    """Mixed sizes pad into the slot; grayscale/RGBA normalize; empty raises."""
+    import numpy as np
+    import pytest as _pytest
+    from PIL import Image
+    from diffusion_models_moe_tpu.analysis.plots import image_grid
+
+    imgs = [np.ones((4, 4, 3)), np.ones((2, 3)),          # small grayscale
+            np.ones((4, 4, 4))]                           # RGBA
+    out = tmp_path / "g.png"
+    image_grid(imgs, str(out), n_cols=3)
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (4, 12, 3)
+    assert (arr[:2, 4:7] == 255).all()       # grayscale content placed
+    assert (arr[2:, 4:8] == 0).all()         # padded region black
+    with _pytest.raises(ValueError):
+        image_grid([], str(out))

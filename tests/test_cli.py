@@ -115,3 +115,16 @@ def test_cli_train_smoke(tmp_path, capsys):
             for l in open(tmp_path / "run" / "train_log.jsonl")]
     assert logs and np.isfinite(logs[-1]["loss"])
     assert (tmp_path / "run" / "checkpoints").is_dir()
+
+
+def test_cli_train_ft_method_choices_match_registry():
+    """The hardcoded --ft-method choices (kept static so --help stays
+    jax-free) must track training.train.FT_METHODS."""
+    from diffusion_models_moe_tpu.cli import build_parser
+    from diffusion_models_moe_tpu.training.train import FT_METHODS
+
+    parser = build_parser()
+    sub = next(a for a in parser._subparsers._group_actions)
+    train_parser = sub.choices["train"]
+    ft = next(a for a in train_parser._actions if a.dest == "ft_method")
+    assert set(ft.choices) == set(FT_METHODS)

@@ -134,7 +134,8 @@ class MirrorEuler:
 
 class MirrorDPM2M:
     """diffusers DPMSolverMultistepScheduler, algorithm 'dpmsolver++',
-    solver_order=2, solver_type 'midpoint', final boundary at t=0."""
+    solver_order=2, solver_type 'midpoint', final boundary at t=0,
+    lower_order_final=True (first-order on the last step of <15-step runs)."""
 
     def __init__(self, n):
         self.acp = _acp()
@@ -154,7 +155,9 @@ class MirrorDPM2M:
         x0 = (sample - s_s * eps) / a_s
         self.m.append(x0)
         h = lam_t - lam_s
-        if len(self.m) == 1:
+        lower_order_final = (i == len(self.timesteps) - 1
+                             and len(self.timesteps) < 15)
+        if len(self.m) == 1 or lower_order_final:
             d = x0
         else:
             _, _, lam_s1 = self._coef(self.bounds[i - 1])

@@ -182,7 +182,8 @@ def test_clip_vision_golden_vs_transformers(tmp_path):
     CLIPVisionModelWithProjection on random weights — the vision tower is the
     judge backbone (CLIP-FID, IQA, concept checkers, gender ratio), so its
     porter gets the same golden anchor as the text side."""
-    import torch
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
     from safetensors.numpy import save_file
     from transformers import CLIPVisionConfig as HFVisionConfig
     from transformers import CLIPVisionModelWithProjection
