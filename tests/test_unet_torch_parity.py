@@ -137,12 +137,18 @@ class _TDown(nn.Module):
 
 
 class _TTimestepMLP(nn.Module):
-    def __init__(self, cin, dim):
+    def __init__(self, cin, dim, cond_dim=0):
         super().__init__()
         self.linear_1 = nn.Linear(cin, dim)
         self.linear_2 = nn.Linear(dim, dim)
+        if cond_dim:
+            # diffusers TimestepEmbedding.cond_proj (LCM guidance embedding):
+            # added to the sinusoidal embedding BEFORE linear_1
+            self.cond_proj = nn.Linear(cond_dim, cin, bias=False)
 
-    def forward(self, x):
+    def forward(self, x, cond=None):
+        if cond is not None:
+            x = x + self.cond_proj(cond)
         return self.linear_2(F.silu(self.linear_1(x)))
 
 
@@ -175,7 +181,14 @@ class _TorchUNet(nn.Module):
         ch = list(cfg.block_out_channels)
         tdim = ch[0] * 4
         self.conv_in = nn.Conv2d(cfg.sample_channels, ch[0], 3, 1, 1)
-        self.time_embedding = _TTimestepMLP(ch[0], tdim)
+        self.time_embedding = _TTimestepMLP(ch[0], tdim,
+                                            cond_dim=cfg.time_cond_proj_dim)
+        if cfg.addition_embed_dim > 0:
+            # SDXL micro-conditioning MLP: input = pooled text embeds ++
+            # sinusoidal(time_ids) flattened (diffusers add_embedding;
+            # 6 time_ids for SDXL)
+            add_in = cfg.addition_embed_dim + 6 * cfg.addition_time_embed_dim
+            self.add_embedding = _TTimestepMLP(add_in, tdim)
         self.down_blocks = nn.ModuleList()
         cur = ch[0]
         for i, kind in enumerate(cfg.down_block_types):
@@ -227,10 +240,18 @@ class _TorchUNet(nn.Module):
         self.conv_norm_out = nn.GroupNorm(cfg.norm_num_groups, ch[0], eps=1e-5)
         self.conv_out = nn.Conv2d(ch[0], cfg.out_channels, 3, 1, 1)
 
-    def forward(self, sample, timestep, ctx):
+    def forward(self, sample, timestep, ctx, added_text_embeds=None,
+                added_time_ids=None, timestep_cond=None):
         cfg = self.cfg
         t = timestep.expand(sample.shape[0])
-        temb = self.time_embedding(_t_emb(t, cfg.block_out_channels[0]))
+        temb = self.time_embedding(_t_emb(t, cfg.block_out_channels[0]),
+                                   cond=timestep_cond)
+        if added_text_embeds is not None:
+            b = sample.shape[0]
+            id_emb = _t_emb(added_time_ids.reshape(-1).float(),
+                            cfg.addition_time_embed_dim).reshape(b, -1)
+            temb = temb + self.add_embedding(
+                torch.cat([added_text_embeds, id_emb], dim=-1))
         h = self.conv_in(sample)
         stack = [h]
         for i, blk in enumerate(self.down_blocks):
@@ -316,3 +337,71 @@ def test_timestep_embedding_matches_torch():
     # (999 * Δfreq ≈ 1e-3); the formula itself is identical
     np.testing.assert_allclose(ours, theirs, atol=2e-3)
     np.testing.assert_allclose(ours[:2], theirs[:2], atol=1e-6)
+
+
+def test_unet_matches_torch_mirror_sdxl_microconditioning():
+    """SDXL added conditioning: pooled text embeds ++ sinusoidal time_ids
+    through add_embedding, summed into the time embedding — the concat order
+    and per-id embedding flattening are classic porting bugs."""
+    cfg = _tiny_unet_cfg(addition_embed_dim=24, addition_time_embed_dim=8)
+    model = UNet2DCondition(cfg)
+    b, size, ctx_len, t_val = 2, 8, 6, 17
+    lat = jax.random.normal(jax.random.PRNGKey(1), (b, size, size, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (b, ctx_len, cfg.cross_attention_dim))
+    text_embeds = jax.random.normal(jax.random.PRNGKey(3), (b, 24))
+    time_ids = jnp.asarray(np.tile(
+        np.array([[512, 512, 0, 0, 512, 512]], np.int32), (b, 1)))
+    params = model.init(jax.random.PRNGKey(0), lat,
+                        jnp.zeros((1,), jnp.int32), ctx,
+                        added_text_embeds=text_embeds,
+                        added_time_ids=time_ids)["params"]
+    out_flax = np.asarray(model.apply(
+        {"params": params}, lat, jnp.asarray([t_val]), ctx,
+        added_text_embeds=text_embeds, added_time_ids=time_ids))
+
+    sd = export_unet(params, cfg)
+    tm = _TorchUNet(cfg)
+    tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd.items()}, strict=True)
+    tm.eval()
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(np.asarray(lat)).permute(0, 3, 1, 2),
+                   torch.tensor([t_val]),
+                   torch.from_numpy(np.asarray(ctx)),
+                   added_text_embeds=torch.from_numpy(np.asarray(text_embeds)),
+                   added_time_ids=torch.from_numpy(np.asarray(time_ids)))
+    np.testing.assert_allclose(out_flax, out_t.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_unet_matches_torch_mirror_lcm_guidance_embedding():
+    """LCM guidance-scale conditioning: cond_proj output added to the
+    sinusoidal embedding BEFORE the time-embedding MLP (diffusers
+    TimestepEmbedding.cond_proj)."""
+    cfg = _tiny_unet_cfg(time_cond_proj_dim=16)
+    model = UNet2DCondition(cfg)
+    b, size, ctx_len, t_val = 2, 8, 6, 41
+    lat = jax.random.normal(jax.random.PRNGKey(1), (b, size, size, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (b, ctx_len, cfg.cross_attention_dim))
+    w_emb = jax.random.normal(jax.random.PRNGKey(4), (b, 16))
+    params = model.init(jax.random.PRNGKey(0), lat,
+                        jnp.zeros((1,), jnp.int32), ctx,
+                        timestep_cond=w_emb)["params"]
+    out_flax = np.asarray(model.apply(
+        {"params": params}, lat, jnp.asarray([t_val]), ctx,
+        timestep_cond=w_emb))
+
+    sd = export_unet(params, cfg)
+    tm = _TorchUNet(cfg)
+    tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd.items()}, strict=True)
+    tm.eval()
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(np.asarray(lat)).permute(0, 3, 1, 2),
+                   torch.tensor([t_val]),
+                   torch.from_numpy(np.asarray(ctx)),
+                   timestep_cond=torch.from_numpy(np.asarray(w_emb)))
+    np.testing.assert_allclose(out_flax, out_t.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-4, rtol=2e-4)
