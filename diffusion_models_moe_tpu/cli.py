@@ -508,6 +508,113 @@ def cmd_train(args):
     print(json.dumps({"steps": int(state.step), "out_dir": args.out_dir}))
 
 
+def cmd_check_snapshot(args):
+    """Snapshot doctor: validate a local diffusers-layout checkpoint BEFORE a
+    long port/eval run. Porting fidelity is the framework's #1 hard part
+    (SURVEY.md §7); this surfaces missing files, key drift (exact UNet
+    state-dict key diff against the expected topology), and — with --deep —
+    runs the real porters component by component."""
+    import dataclasses
+    _maybe_force_cpu(args)
+    import jax
+    import jax.numpy as jnp
+    from diffusion_models_moe_tpu import sd15_config, sd21_config
+    from diffusion_models_moe_tpu.config import sdxl_config
+
+    cfg = {"sd15": sd15_config, "sd21": sd21_config,
+           "sdxl": sdxl_config}[args.kind]()
+    report = {"snapshot": args.snapshot, "kind": args.kind, "components": {}}
+
+    def tensor_keys(path):
+        from safetensors import safe_open
+        with safe_open(path, framework="np") as f:
+            return list(f.keys())
+
+    # --- file presence + tensor counts -----------------------------------
+    expected_files = {
+        "unet": "unet/diffusion_pytorch_model.safetensors",
+        "vae": "vae/diffusion_pytorch_model.safetensors",
+        "text_encoder": "text_encoder/model.safetensors",
+        "tokenizer": "tokenizer/vocab.json",
+    }
+    if args.kind == "sdxl":
+        expected_files["text_encoder_2"] = "text_encoder_2/model.safetensors"
+        expected_files["tokenizer_2"] = "tokenizer_2/vocab.json"
+    for name, rel in expected_files.items():
+        p = os.path.join(args.snapshot, rel)
+        entry = {"path": rel, "present": os.path.exists(p)}
+        if entry["present"] and rel.endswith(".safetensors"):
+            entry["n_tensors"] = len(tensor_keys(p))
+        report["components"][name] = entry
+
+    # --- exact UNet key census -------------------------------------------
+    unet_entry = report["components"]["unet"]
+    if unet_entry["present"]:
+        from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+        from diffusion_models_moe_tpu.weights.export import export_unet
+        u = cfg.unet
+        # shrink dims, PRESERVE topology (incl. channel-equality structure,
+        # which decides conv_shortcut key presence) — key names are
+        # dim-independent
+        scale = u.block_out_channels[0] // 8
+        tiny = dataclasses.replace(
+            u, block_out_channels=tuple(c // scale
+                                        for c in u.block_out_channels),
+            attention_head_dim=4, cross_attention_dim=16,
+            norm_num_groups=4, dtype=jnp.float32, flash_attention=False,
+            addition_embed_dim=16 if u.addition_embed_dim else 0,
+            addition_time_embed_dim=8 if u.addition_time_embed_dim else 0,
+            time_cond_proj_dim=8 if u.time_cond_proj_dim else 0)
+        kw = {}
+        if tiny.addition_embed_dim:
+            kw = {"added_text_embeds": jnp.zeros((1, 16)),
+                  "added_time_ids": jnp.zeros((1, 6), jnp.int32)}
+        params = UNet2DCondition(tiny).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, u.sample_channels)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 16)), **kw)["params"]
+        expected = set(export_unet(params, tiny))
+        got = set(tensor_keys(os.path.join(args.snapshot,
+                                           expected_files["unet"])))
+        unet_entry["missing_keys"] = sorted(expected - got)
+        unet_entry["unexpected_keys"] = sorted(got - expected)
+        unet_entry["keys_ok"] = not unet_entry["missing_keys"]
+
+    # --- deep: run the real porters --------------------------------------
+    if args.deep:
+        from diffusion_models_moe_tpu.weights.port import (port_clip_text,
+                                                           port_unet,
+                                                           port_vae_decoder,
+                                                           port_vae_encoder)
+        porters = {
+            "unet": lambda: port_unet(os.path.join(args.snapshot, "unet"),
+                                      cfg.unet),
+            "text_encoder": lambda: port_clip_text(
+                os.path.join(args.snapshot, "text_encoder"),
+                cfg.text_encoder),
+            "vae": lambda: port_vae_decoder(
+                os.path.join(args.snapshot, "vae"), cfg.vae),
+            "vae_encoder": lambda: port_vae_encoder(
+                os.path.join(args.snapshot, "vae"), cfg.vae),
+        }
+        for name, fn in porters.items():
+            entry = report["components"].setdefault(name, {})
+            try:
+                tree = fn()
+                entry["ported_params"] = int(sum(
+                    np.asarray(x).size
+                    for x in jax.tree_util.tree_leaves(tree)))
+                entry["port_ok"] = True
+            except Exception as e:  # noqa: BLE001 — doctor reports, not raises
+                entry["port_ok"] = False
+                entry["port_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    report["ok"] = all(c.get("present", True) and c.get("keys_ok", True)
+                       and c.get("port_ok", True)
+                       for c in report["components"].values())
+    print(json.dumps(report, indent=2))
+    return report
+
+
 def cmd_serve(args):
     """Line-oriented serving loop over the batched engine (serving.py):
     stdin lines `seed<TAB>prompt` (or just `prompt`), PNGs written to
@@ -689,6 +796,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".npz of class text embeddings in the featurizer's "
                          "space (objects/debias zero-shot judges)")
     sp.set_defaults(fn=cmd_protocol)
+
+    sp = sub.add_parser("check-snapshot")
+    sp.add_argument("--snapshot", required=True)
+    sp.add_argument("--kind", default="sd15", choices=["sd15", "sd21", "sdxl"])
+    sp.add_argument("--cpu", action="store_true")
+    sp.add_argument("--deep", action="store_true",
+                    help="run the real porters component by component")
+    sp.set_defaults(fn=cmd_check_snapshot)
 
     sp = sub.add_parser("train"); common(sp)
     sp.add_argument("--data-dir", required=True,

@@ -128,3 +128,75 @@ def test_cli_train_ft_method_choices_match_registry():
     train_parser = sub.choices["train"]
     ft = next(a for a in train_parser._actions if a.dest == "ft_method")
     assert set(ft.choices) == set(FT_METHODS)
+
+
+def test_cli_check_snapshot(tmp_path, capsys):
+    """Snapshot doctor: exact UNet key census + presence + deep porter run."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from diffusion_models_moe_tpu import tiny_config
+    from diffusion_models_moe_tpu.cli import main
+    from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+    from diffusion_models_moe_tpu.models.vae import VAEDecoder, VAEEncoder
+    from diffusion_models_moe_tpu.weights.export import (export_unet,
+                                                         export_vae_decoder,
+                                                         export_vae_encoder)
+
+    cfg = tiny_config()
+    root = tmp_path / "snap"
+    for sub in ("unet", "vae", "text_encoder", "tokenizer"):
+        (root / sub).mkdir(parents=True)
+    uparams = UNet2DCondition(cfg.unet).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 8, cfg.unet.cross_attention_dim)))["params"]
+    save_file(export_unet(uparams, cfg.unet),
+              str(root / "unet" / "diffusion_pytorch_model.safetensors"))
+    # VAE files must carry SD1.5 TOPOLOGY (2 resnets/block) for the deep
+    # porters, which run at the declared kind's geometry; tiny dims are fine
+    import dataclasses
+    from diffusion_models_moe_tpu.config import VAEConfig
+    vae_cfg = VAEConfig(block_out_channels=(8, 16, 32, 32),
+                        layers_per_block=2, norm_num_groups=4)
+    vdec = VAEDecoder(vae_cfg).init(jax.random.PRNGKey(1),
+                                    jnp.zeros((1, 4, 4, 4)))["params"]
+    venc = VAEEncoder(vae_cfg).init(jax.random.PRNGKey(2),
+                                    jnp.zeros((1, 32, 32, 3)))["params"]
+    vae_sd = {**export_vae_decoder(vdec, vae_cfg),
+              **export_vae_encoder(venc, vae_cfg)}
+    save_file(vae_sd,
+              str(root / "vae" / "diffusion_pytorch_model.safetensors"))
+    save_file({"dummy": np.zeros((1,), np.float32)},
+              str(root / "text_encoder" / "model.safetensors"))
+    (root / "tokenizer" / "vocab.json").write_text("{}")
+
+    main(["check-snapshot", "--cpu", "--snapshot", str(root)])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["components"]["unet"]["keys_ok"]
+    assert rep["ok"]
+
+    # deep mode: unet + both vae porters succeed, text encoder reports error
+    main(["check-snapshot", "--cpu", "--snapshot", str(root), "--deep"])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["components"]["unet"]["port_ok"]
+    assert rep["components"]["vae"]["port_ok"]
+    assert rep["components"]["vae_encoder"]["port_ok"]
+    assert rep["components"]["text_encoder"]["port_ok"] is False
+    assert "port_error" in rep["components"]["text_encoder"]
+    assert rep["ok"] is False
+
+    # a missing tensor shows up in the census diff
+    import safetensors.numpy as stn
+    sd = stn.load_file(
+        str(root / "unet" / "diffusion_pytorch_model.safetensors"))
+    sd.pop("conv_out.bias")
+    save_file(sd, str(root / "unet" / "diffusion_pytorch_model.safetensors"))
+    main(["check-snapshot", "--cpu", "--snapshot", str(root)])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["components"]["unet"]["missing_keys"] == ["conv_out.bias"]
+    assert rep["ok"] is False
