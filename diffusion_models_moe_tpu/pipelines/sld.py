@@ -30,12 +30,55 @@ SAFETY_CONCEPT = (
 
 @dataclasses.dataclass(frozen=True)
 class SLDConfig:
-    """SLD-medium defaults (hyp presets from the SLD paper)."""
-    guidance_scale: float = 2000.0
-    threshold: float = 0.025
-    momentum_scale: float = 0.5
-    momentum_beta: float = 0.7
+    """Hyp-Medium defaults — the safe-SD pipeline's default operating point
+    (diffusers StableDiffusionPipelineSafe: sld_guidance_scale=1000,
+    sld_threshold=0.01, sld_momentum_scale=0.3, sld_mom_beta=0.4,
+    sld_warmup_steps=10). The other paper presets are classmethods."""
+    guidance_scale: float = 1000.0
+    threshold: float = 0.01
+    momentum_scale: float = 0.3
+    momentum_beta: float = 0.4
     warmup_steps: int = 10
+
+    @classmethod
+    def weak(cls) -> "SLDConfig":
+        return cls(guidance_scale=200.0, threshold=0.0, momentum_scale=0.0,
+                   momentum_beta=0.0, warmup_steps=15)
+
+    @classmethod
+    def medium(cls) -> "SLDConfig":
+        return cls()
+
+    @classmethod
+    def strong(cls) -> "SLDConfig":
+        return cls(guidance_scale=2000.0, threshold=0.025,
+                   momentum_scale=0.5, momentum_beta=0.7, warmup_steps=7)
+
+    @classmethod
+    def max(cls) -> "SLDConfig":
+        return cls(guidance_scale=5000.0, threshold=1.0, momentum_scale=0.5,
+                   momentum_beta=0.7, warmup_steps=0)
+
+
+def sld_combine(eps_u, eps_c, eps_s, momentum, i, sld: SLDConfig, g: float):
+    """One step of SLD guidance combination (paper eqs. 3-8, matching the
+    safe-SD pipeline's ordering): returns (eps_hat, momentum_new).
+
+    Ordering subtlety: the momentum term is ADDED to the safety guidance
+    (eq. 7) BEFORE the EMA update consumes it (eq. 8) — updating the EMA from
+    the pre-momentum guidance (a natural-looking refactor) diverges from the
+    published algorithm."""
+    guidance = eps_c - eps_u
+    scale = jnp.clip(jnp.abs(eps_c - eps_s) * sld.guidance_scale, 0.0, 1.0)
+    mask = jnp.where((eps_c - eps_s) >= sld.threshold, 0.0, scale)
+    safety_guidance = mask * (eps_s - eps_u)
+    safety_guidance = safety_guidance + sld.momentum_scale * momentum
+    momentum_new = (sld.momentum_beta * momentum
+                    + (1 - sld.momentum_beta) * safety_guidance)
+    # apply safety only after warmup (momentum still accumulates)
+    apply = jnp.asarray(i >= sld.warmup_steps, eps_u.dtype)
+    eps_hat = eps_u + g * (guidance - apply * safety_guidance)
+    return eps_hat, momentum_new
 
 
 def sld_generate(pipe, params, cond_ids, uncond_ids, safety_ids, key, *,
@@ -66,17 +109,8 @@ def sld_generate(pipe, params, cond_ids, uncond_ids, safety_ids, key, *,
             eps = pipe.unet.apply({"params": params["unet"]}, lat_in,
                                   timesteps[i], context, step_idx=i)
             eps_u, eps_c, eps_s = jnp.split(eps, 3, axis=0)
-            guidance = eps_c - eps_u
-            scale = jnp.clip(jnp.abs(eps_c - eps_s) * sld.guidance_scale,
-                             0.0, 1.0)
-            mask = jnp.where((eps_c - eps_s) >= sld.threshold, 0.0, scale)
-            safety_guidance = mask * (eps_s - eps_u)
-            momentum_new = (sld.momentum_beta * momentum
-                            + (1 - sld.momentum_beta) * safety_guidance)
-            safety_guidance = safety_guidance + sld.momentum_scale * momentum
-            # apply safety only after warmup (momentum still accumulates)
-            apply = (i >= sld.warmup_steps).astype(eps_u.dtype)
-            eps_hat = eps_u + g * (guidance - apply * safety_guidance)
+            eps_hat, momentum_new = sld_combine(eps_u, eps_c, eps_s,
+                                                momentum, i, sld, g)
             sched_state, x = pipe.scheduler.step(sched_state, coeffs, eps_hat,
                                                  i, x)
             return (x, sched_state, momentum_new), None

@@ -92,3 +92,44 @@ def test_unsafe_concept_embeddings_native(sd_pipe):
         tokenize)
     assert embs.shape == (6, tc.hidden_size)
     assert np.all(np.isfinite(embs))
+
+
+def test_sld_combine_matches_safe_pipeline_equations():
+    """sld_combine vs an independent numpy mirror of the safe-SD pipeline's
+    eq. 3-8 ordering. Regression: the EMA (eq. 8) must consume the
+    momentum-AUGMENTED safety guidance (eq. 7), and warmup must gate the
+    application while momentum still accumulates."""
+    import numpy as np
+    from diffusion_models_moe_tpu.pipelines.sld import SLDConfig, sld_combine
+
+    cfg = SLDConfig.strong()
+    g = 7.5
+    rng = np.random.RandomState(0)
+    shape = (2, 4, 4, 3)
+    momentum = np.zeros(shape)
+    momentum_j = momentum.copy()
+    for i in range(12):                       # crosses warmup_steps=7
+        eps_u, eps_c, eps_s = (rng.randn(*shape) * 0.05 for _ in range(3))
+        # --- numpy mirror (diffusers pipeline_stable_diffusion_safe) ------
+        scale = np.clip(np.abs(eps_c - eps_s) * cfg.guidance_scale, None, 1.0)
+        sg = np.where((eps_c - eps_s) >= cfg.threshold, 0.0, scale) \
+            * (eps_s - eps_u)
+        sg = sg + cfg.momentum_scale * momentum
+        momentum = cfg.momentum_beta * momentum \
+            + (1 - cfg.momentum_beta) * sg
+        ng = eps_c - eps_u
+        if i >= cfg.warmup_steps:
+            ng = ng - sg
+        want = eps_u + g * ng
+        # --- framework ----------------------------------------------------
+        got, momentum_j = sld_combine(
+            jnp.asarray(eps_u), jnp.asarray(eps_c), jnp.asarray(eps_s),
+            jnp.asarray(momentum_j), i, cfg, g)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5,
+                                   err_msg=f"step {i}")
+        np.testing.assert_allclose(np.asarray(momentum_j), momentum,
+                                   atol=1e-5)
+    # defaults are the safe-SD pipeline's Hyp-Medium operating point
+    assert SLDConfig() == SLDConfig.medium()
+    assert SLDConfig().guidance_scale == 1000.0
+    assert SLDConfig.max().warmup_steps == 0
