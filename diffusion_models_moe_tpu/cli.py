@@ -508,6 +508,75 @@ def cmd_train(args):
     print(json.dumps({"steps": int(state.step), "out_dir": args.out_dir}))
 
 
+def cmd_iqa(args):
+    """CLIP-IQA quality/concept report over three image directories (base /
+    concept / after-removal) — the reference's clip_score.py scorer
+    (modularity/clip_score.py:85-140), natively on the CLIP towers."""
+    import jax
+    import jax.numpy as jnp
+    _maybe_force_cpu(args)
+    from diffusion_models_moe_tpu.benchmarks.fid import (
+        make_clip_featurizer, make_clip_text_featurizer)
+    from diffusion_models_moe_tpu.benchmarks.protocols import clip_iqa_protocol
+    from diffusion_models_moe_tpu.models.clip_text import CLIPTextEncoder
+    from diffusion_models_moe_tpu.models.clip_vision import (
+        CLIPVisionConfig, CLIPVisionEncoder, tiny_vision_config)
+
+    def load_dir(d):
+        from PIL import Image
+        names = sorted(f for f in os.listdir(d)
+                       if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if not names:
+            raise SystemExit(f"no images in {d}")
+        return [np.asarray(Image.open(os.path.join(d, f)).convert("RGB"),
+                           np.float32) / 255.0 for f in names]
+
+    if args.clip_snapshot:
+        from diffusion_models_moe_tpu.config import CLIPTextConfig
+        from diffusion_models_moe_tpu.data.tokenizer import load_tokenizer
+        from diffusion_models_moe_tpu.weights.port import port_clip_text
+        from diffusion_models_moe_tpu.weights.port_vision import (
+            port_clip_text_projection, port_clip_vision)
+        vcfg = CLIPVisionConfig()
+        venc = CLIPVisionEncoder(vcfg)
+        image_f = make_clip_featurizer(
+            venc, port_clip_vision(args.clip_snapshot, vcfg))
+        tcfg = CLIPTextConfig()
+        tenc = CLIPTextEncoder(tcfg)
+        tparams = port_clip_text(args.clip_snapshot, tcfg)
+        tokenize = load_tokenizer(os.path.join(args.clip_snapshot,
+                                               "tokenizer"))
+        proj = port_clip_text_projection(args.clip_snapshot)
+        text_f = make_clip_text_featurizer(tenc, tparams, tokenize,
+                                           text_projection=proj)
+    else:
+        # random-init tiny towers: structure smoke test, not a real judge
+        vcfg = tiny_vision_config()
+        venc = CLIPVisionEncoder(vcfg)
+        vparams = venc.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, vcfg.image_size, vcfg.image_size,
+                                       3)))["params"]
+        image_f = make_clip_featurizer(venc, vparams)
+        from diffusion_models_moe_tpu import tiny_config
+        tcfg = tiny_config().text_encoder
+        tenc = CLIPTextEncoder(tcfg)
+        tparams = tenc.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, tcfg.max_length),
+                                      jnp.int32))["params"]
+        proj = np.asarray(np.random.RandomState(2).randn(
+            tcfg.hidden_size, vcfg.projection_dim), np.float32)
+        text_f = make_clip_text_featurizer(
+            tenc, tparams, _hash_tokenize(tcfg.vocab_size, tcfg.max_length),
+            text_projection=proj)
+
+    report = clip_iqa_protocol(load_dir(args.base_dir),
+                               load_dir(args.concept_dir),
+                               load_dir(args.removed_dir),
+                               image_f, text_f, concept=args.concept,
+                               out_dir=args.out_dir)
+    print(json.dumps(report))
+
+
 def cmd_check_snapshot(args):
     """Snapshot doctor: validate a local diffusers-layout checkpoint BEFORE a
     long port/eval run. Porting fidelity is the framework's #1 hard part
@@ -796,6 +865,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".npz of class text embeddings in the featurizer's "
                          "space (objects/debias zero-shot judges)")
     sp.set_defaults(fn=cmd_protocol)
+
+    sp = sub.add_parser("iqa")
+    sp.add_argument("--base-dir", required=True)
+    sp.add_argument("--concept-dir", required=True)
+    sp.add_argument("--removed-dir", required=True)
+    sp.add_argument("--concept", required=True,
+                    help="per-concept test-prompt key (e.g. 'Van Gogh')")
+    sp.add_argument("--out-dir", default=None)
+    sp.add_argument("--clip-snapshot", default=None)
+    sp.add_argument("--cpu", action="store_true")
+    sp.set_defaults(fn=cmd_iqa)
 
     sp = sub.add_parser("check-snapshot")
     sp.add_argument("--snapshot", required=True)

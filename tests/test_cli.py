@@ -200,3 +200,29 @@ def test_cli_check_snapshot(tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out)
     assert rep["components"]["unet"]["missing_keys"] == ["conv_out.bias"]
     assert rep["ok"] is False
+
+
+def test_cli_iqa(tmp_path, capsys):
+    """cli iqa: three image dirs -> CLIP-IQA report JSON (tiny towers)."""
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    from diffusion_models_moe_tpu.cli import main
+
+    rng = np.random.RandomState(0)
+    for name in ("base", "concept", "removed"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+                str(d / f"img_{i}.png"))
+    main(["iqa", "--cpu", "--base-dir", str(tmp_path / "base"),
+          "--concept-dir", str(tmp_path / "concept"),
+          "--removed-dir", str(tmp_path / "removed"),
+          "--concept", "Van Gogh", "--out-dir", str(tmp_path)])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep) == {"base", "concept", "concept_removal"}
+    assert 0.0 <= rep["base"]["quality"] <= 1.0
+    assert (tmp_path / "clip_iqa_scores.json").exists()
