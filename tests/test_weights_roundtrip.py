@@ -182,6 +182,7 @@ def test_clip_vision_golden_vs_transformers(tmp_path):
     CLIPVisionModelWithProjection on random weights — the vision tower is the
     judge backbone (CLIP-FID, IQA, concept checkers, gender ratio), so its
     porter gets the same golden anchor as the text side."""
+    import pytest
     torch = pytest.importorskip("torch")
     pytest.importorskip("transformers")
     from safetensors.numpy import save_file
