@@ -175,3 +175,48 @@ def load_tokenizer(path: str, max_length: int = 77):
                                  )["input_ids"], np.int32)
 
         return tok
+
+
+def load_t5_tokenizer(path: str, max_length: int = 120):
+    """T5 tokenizer for the PixArt pipeline (reference loads the
+    PixArtAlphaPipeline's T5 tokenizer, utils.py:119-127; PixArt uses 120
+    text tokens).
+
+    Loads `tokenizer.json` (HF fast format) or converts `spiece.model`
+    (sentencepiece unigram) via the `tokenizers` library — no sentencepiece
+    runtime needed. Returns `tokenize(texts) -> (ids, attention_mask)` int32
+    arrays of shape (B, max_length): T5 semantics, EOS (</s>, id 1) appended,
+    pad id 0, mask 1 on real tokens."""
+    import numpy as np
+
+    json_path = os.path.join(path, "tokenizer.json")
+    spm_path = os.path.join(path, "spiece.model")
+    if os.path.exists(json_path):
+        from tokenizers import Tokenizer
+        tok = Tokenizer.from_file(json_path)
+    elif os.path.exists(spm_path):
+        from tokenizers.implementations import SentencePieceUnigramTokenizer
+        tok = SentencePieceUnigramTokenizer.from_spm(spm_path)._tokenizer
+    else:
+        raise FileNotFoundError(
+            f"no tokenizer.json or spiece.model under {path!r}")
+    eos_id = tok.token_to_id("</s>")
+    eos_id = 1 if eos_id is None else eos_id
+
+    def tokenize(texts):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            enc = tok.encode(t).ids
+            # a tokenizer.json may carry a post-processor that already
+            # appends EOS; append only if absent
+            if not enc or enc[-1] != eos_id:
+                enc = list(enc) + [eos_id]
+            enc = enc[:max_length]
+            if enc[-1] != eos_id:           # truncation dropped the EOS
+                enc[-1] = eos_id
+            ids[i, :len(enc)] = enc
+            mask[i, :len(enc)] = 1
+        return ids, mask
+
+    return tokenize

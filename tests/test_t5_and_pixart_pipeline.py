@@ -235,3 +235,32 @@ def test_pixart_per_sample_seeds(pixart_pipe):
                             seeds=np.asarray([7, 1000]))
     np.testing.assert_array_equal(np.asarray(lat1[0]), np.asarray(lat2[0]))
     assert np.abs(np.asarray(lat1[1]) - np.asarray(lat2[1])).max() > 1e-4
+
+
+def test_load_t5_tokenizer(tmp_path):
+    """T5 tokenizer loader: fast tokenizer.json -> (ids, mask) with EOS/pad
+    semantics (the PixArt text front door)."""
+    import numpy as np
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    from diffusion_models_moe_tpu.data.tokenizer import load_t5_tokenizer
+
+    vocab = {"<pad>": 0, "</s>": 1, "a": 2, "photo": 3, "of": 4, "dog": 5,
+             "cat": 6}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<pad>"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(tmp_path / "tokenizer.json"))
+
+    tokenize = load_t5_tokenizer(str(tmp_path), max_length=6)
+    ids, mask = tokenize(["a photo of dog", "cat"])
+    assert ids.shape == mask.shape == (2, 6)
+    np.testing.assert_array_equal(ids[0], [2, 3, 4, 5, 1, 0])  # EOS appended
+    np.testing.assert_array_equal(mask[0], [1, 1, 1, 1, 1, 0])
+    np.testing.assert_array_equal(ids[1], [6, 1, 0, 0, 0, 0])
+    # truncation keeps a trailing EOS
+    ids2, _ = tokenize(["a photo of dog cat a photo of dog"])
+    assert ids2[0, -1] == 1
+    with __import__("pytest").raises(FileNotFoundError):
+        load_t5_tokenizer(str(tmp_path / "missing"))
