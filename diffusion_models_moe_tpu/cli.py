@@ -528,8 +528,15 @@ def cmd_iqa(args):
                        if f.lower().endswith((".png", ".jpg", ".jpeg")))
         if not names:
             raise SystemExit(f"no images in {d}")
-        return [np.asarray(Image.open(os.path.join(d, f)).convert("RGB"),
-                           np.float32) / 255.0 for f in names]
+        out = []
+        for f in names:
+            img = Image.open(os.path.join(d, f)).convert("RGB")
+            # uniform size so mixed-size dirs stack; the CLIP featurizer
+            # resizes to its input size anyway
+            if img.size != (224, 224):
+                img = img.resize((224, 224), Image.BILINEAR)
+            out.append(np.asarray(img, np.float32) / 255.0)
+        return out
 
     if args.clip_snapshot:
         from diffusion_models_moe_tpu.config import CLIPTextConfig
@@ -544,8 +551,9 @@ def cmd_iqa(args):
         tcfg = CLIPTextConfig()
         tenc = CLIPTextEncoder(tcfg)
         tparams = port_clip_text(args.clip_snapshot, tcfg)
-        tokenize = load_tokenizer(os.path.join(args.clip_snapshot,
-                                               "tokenizer"))
+        # full-CLIPModel snapshots (the layout port_clip_vision reads) keep
+        # vocab.json/merges.txt at the snapshot ROOT, not a tokenizer/ subdir
+        tokenize = load_tokenizer(args.clip_snapshot)
         proj = port_clip_text_projection(args.clip_snapshot)
         text_f = make_clip_text_featurizer(tenc, tparams, tokenize,
                                            text_projection=proj)
@@ -648,23 +656,66 @@ def cmd_check_snapshot(args):
         unet_entry["unexpected_keys"] = sorted(got - expected)
         unet_entry["keys_ok"] = not unet_entry["missing_keys"]
 
+        # sentinel SHAPES: key names are identical between sd15 and sd21
+        # (same topology), so a wrong --kind passes the census; the
+        # cross-attention K projection's in-dim and conv_in's channel counts
+        # disambiguate (sd15: 768, sd21: 1024, sdxl: 2048). safetensors
+        # exposes shapes from the header without loading tensors.
+        from safetensors import safe_open
+        with safe_open(os.path.join(args.snapshot, expected_files["unet"]),
+                       framework="np") as f:
+            def shape_of(key):
+                return (tuple(f.get_slice(key).get_shape())
+                        if key in got else None)
+            checks = {}
+            k = ("down_blocks.0.attentions.0.transformer_blocks.0"
+                 ".attn2.to_k.weight")
+            s = shape_of(k)
+            if s is not None:
+                checks["cross_attention_dim"] = {
+                    "got": s[1], "expected": u.cross_attention_dim}
+            s = shape_of("conv_in.weight")
+            if s is not None:
+                checks["sample_channels"] = {
+                    "got": s[1], "expected": u.sample_channels}
+                checks["block_out_channels[0]"] = {
+                    "got": s[0], "expected": u.block_out_channels[0]}
+        unet_entry["shape_checks"] = checks
+        unet_entry["shapes_ok"] = all(c["got"] == c["expected"]
+                                      for c in checks.values())
+
     # --- deep: run the real porters --------------------------------------
     if args.deep:
-        from diffusion_models_moe_tpu.weights.port import (port_clip_text,
+        from diffusion_models_moe_tpu.weights.port import (_load_vae_sd,
+                                                           port_clip_text,
                                                            port_unet,
                                                            port_vae_decoder,
                                                            port_vae_encoder)
+        vae_dir = os.path.join(args.snapshot, "vae")
+        vae_sd = {}   # one read serves both VAE porters
+
+        def vae_state():
+            if not vae_sd:
+                vae_sd["sd"] = _load_vae_sd(vae_dir)
+            return vae_sd["sd"]
+
         porters = {
             "unet": lambda: port_unet(os.path.join(args.snapshot, "unet"),
                                       cfg.unet),
             "text_encoder": lambda: port_clip_text(
                 os.path.join(args.snapshot, "text_encoder"),
                 cfg.text_encoder),
-            "vae": lambda: port_vae_decoder(
-                os.path.join(args.snapshot, "vae"), cfg.vae),
-            "vae_encoder": lambda: port_vae_encoder(
-                os.path.join(args.snapshot, "vae"), cfg.vae),
+            "vae": lambda: port_vae_decoder(vae_dir, cfg.vae,
+                                            _sd=vae_state()),
+            "vae_encoder": lambda: port_vae_encoder(vae_dir, cfg.vae,
+                                                    _sd=vae_state()),
         }
+        if args.kind == "sdxl":
+            from diffusion_models_moe_tpu.pipelines.sdxl import (
+                sdxl_text_configs)
+            _, tc2 = sdxl_text_configs()
+            porters["text_encoder_2"] = lambda: port_clip_text(
+                os.path.join(args.snapshot, "text_encoder_2"), tc2)
         for name, fn in porters.items():
             entry = report["components"].setdefault(name, {})
             try:
@@ -678,7 +729,7 @@ def cmd_check_snapshot(args):
                 entry["port_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     report["ok"] = all(c.get("present", True) and c.get("keys_ok", True)
-                       and c.get("port_ok", True)
+                       and c.get("shapes_ok", True) and c.get("port_ok", True)
                        for c in report["components"].values())
     print(json.dumps(report, indent=2))
     return report

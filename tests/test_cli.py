@@ -155,7 +155,13 @@ def test_cli_check_snapshot(tmp_path, capsys):
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 8, cfg.unet.cross_attention_dim)))["params"]
-    save_file(export_unet(uparams, cfg.unet),
+    unet_sd = export_unet(uparams, cfg.unet)
+    # sentinel tensors at REAL SD1.5 shapes: the doctor's shape checks read
+    # only these from the header (everything else stays tiny)
+    unet_sd["conv_in.weight"] = np.zeros((320, 4, 3, 3), np.float32)
+    unet_sd["down_blocks.0.attentions.0.transformer_blocks.0"
+            ".attn2.to_k.weight"] = np.zeros((8, 768), np.float32)
+    save_file(unet_sd,
               str(root / "unet" / "diffusion_pytorch_model.safetensors"))
     # VAE files must carry SD1.5 TOPOLOGY (2 resnets/block) for the deep
     # porters, which run at the declared kind's geometry; tiny dims are fine
@@ -178,7 +184,20 @@ def test_cli_check_snapshot(tmp_path, capsys):
     main(["check-snapshot", "--cpu", "--snapshot", str(root)])
     rep = _json.loads(capsys.readouterr().out)
     assert rep["components"]["unet"]["keys_ok"]
+    assert rep["components"]["unet"]["shapes_ok"]
     assert rep["ok"]
+
+    # wrong --kind detection: same snapshot declared as sd21 fails the
+    # cross-attention-dim sentinel (768 vs expected 1024) despite identical
+    # key names
+    main(["check-snapshot", "--cpu", "--snapshot", str(root),
+          "--kind", "sd21"])
+    rep21 = _json.loads(capsys.readouterr().out)
+    assert rep21["components"]["unet"]["keys_ok"]
+    assert rep21["components"]["unet"]["shapes_ok"] is False
+    chk = rep21["components"]["unet"]["shape_checks"]["cross_attention_dim"]
+    assert chk == {"got": 768, "expected": 1024}
+    assert rep21["ok"] is False
 
     # deep mode: unet + both vae porters succeed, text encoder reports error
     main(["check-snapshot", "--cpu", "--snapshot", str(root), "--deep"])
