@@ -285,7 +285,8 @@ def cmd_protocol(args):
 
     pipe, params, tokenize = _load_pipe(args)
     ivs = None
-    if args.masks:
+    if args.masks and args.name != "unified":
+        # 'unified' parses --masks itself ("name=path,..." per-concept bank)
         from diffusion_models_moe_tpu.erasure.masks import (
             load_masks, wanda_removal_interventions)
         ivs = wanda_removal_interventions(load_masks(args.masks))
@@ -369,6 +370,50 @@ def cmd_protocol(args):
             seeds=range(args.seed, args.seed + (args.limit or 4)),
             professions=profs, num_steps=args.steps or 50,
             out_path=os.path.join(args.out_dir, "debias_results.json"))
+    elif args.name == "unified":
+        # router benchmark (reference: benchmarks/unified_editing.py):
+        # per-prompt CLIP concept checkers -> union of fired concepts' masks
+        from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+            ConceptChecker, pooled_text_embedding)
+        from diffusion_models_moe_tpu.benchmarks.unified_editing import (
+            ConceptBank, unified_editing_eval)
+        from diffusion_models_moe_tpu.erasure.masks import load_masks
+        if not args.masks or "=" not in args.masks:
+            raise SystemExit(
+                'protocol unified needs --masks "name=path.npz,name2=..."')
+        bank_masks = {}
+        for pair in args.masks.split(","):
+            name, path = pair.split("=", 1)
+            bank_masks[name.strip()] = load_masks(path.strip())
+
+        import jax.numpy as jnp
+
+        def text_embed(texts):
+            ids = jnp.asarray(np.asarray(tokenize(list(texts))))
+            hidden = pipe.text_encoder.apply(
+                {"params": params["text_encoder"]}, ids)
+            if isinstance(hidden, tuple):
+                hidden = hidden[0]
+            proj = jnp.eye(hidden.shape[-1], dtype=jnp.float32)
+            return np.asarray(jax.device_get(pooled_text_embedding(
+                hidden.astype(jnp.float32), ids, proj)))
+
+        anchor = text_embed([args.anchor])[0]
+        checkers = {name: ConceptChecker(name, text_embed([name])[0], anchor,
+                                         margin=args.margin)
+                    for name in bank_masks}
+        bank = ConceptBank(checkers=checkers, masks=bank_masks)
+        if args.prompts_file:
+            from diffusion_models_moe_tpu.data.coco import load_prompt_csv
+            prompts, _ = load_prompt_csv(args.prompts_file)
+        else:
+            prompts = [f"a painting in the style of {n}"
+                       for n in bank_masks] + ["a photo of a dog"]
+        if args.limit:
+            prompts = prompts[:args.limit]
+        out = unified_editing_eval(pipe, params, tokenize, prompts,
+                                   text_embed(prompts), bank, args.out_dir,
+                                   num_steps=args.steps or 50, seed=args.seed)
     else:
         raise SystemExit(f"unknown protocol {args.name}")
     print(json.dumps(out))
@@ -898,7 +943,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("protocol"); common(sp, concept=True)
     sp.add_argument("name", choices=["i2p", "memorize", "artists", "objects",
-                                     "debias"])
+                                     "debias", "unified"])
     sp.add_argument("--out-dir", required=True)
     sp.add_argument("--masks", default=None,
                     help="wanda mask npz to apply as the intervention")
@@ -915,6 +960,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--class-embs", default=None,
                     help=".npz of class text embeddings in the featurizer's "
                          "space (objects/debias zero-shot judges)")
+    sp.add_argument("--prompts-file", default=None,
+                    help="prompt CSV for 'unified' (combined artists+i2p)")
+    sp.add_argument("--anchor", default="a photo",
+                    help="no-concept anchor text for 'unified' checkers")
+    sp.add_argument("--margin", type=float, default=0.0,
+                    help="checker margin for 'unified'")
     sp.set_defaults(fn=cmd_protocol)
 
     sp = sub.add_parser("iqa")

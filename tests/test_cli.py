@@ -245,3 +245,31 @@ def test_cli_iqa(tmp_path, capsys):
     assert set(rep) == {"base", "concept", "concept_removal"}
     assert 0.0 <= rep["base"]["quality"] <= 1.0
     assert (tmp_path / "clip_iqa_scores.json").exists()
+
+
+def test_cli_protocol_unified(tmp_path, capsys):
+    """cli protocol unified: per-prompt concept routing over mask files."""
+    import json as _json
+
+    import numpy as np
+
+    from diffusion_models_moe_tpu.cli import main
+    from diffusion_models_moe_tpu.erasure.masks import save_masks
+
+    # tiny-config wanda-orientation masks for two concepts (16 FF layers of
+    # the tiny config; (D, H) static masks)
+    dims = [(32, 128)] * 2
+    rng = np.random.RandomState(0)
+    for name in ("vg", "nk"):
+        masks = {i: rng.rand(d, h) < 0.05 for i, (d, h) in enumerate(dims)}
+        save_masks(str(tmp_path / f"{name}.npz"), masks)
+
+    main(["protocol", "unified", "--cpu", "--steps", "2", "--limit", "2",
+          "--masks", f"vg={tmp_path}/vg.npz,nk={tmp_path}/nk.npz",
+          "--out-dir", str(tmp_path / "out")])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_prompts"] == 2
+    assert len(rep["results"]) == 2
+    import os
+    assert len([f for f in os.listdir(tmp_path / "out")
+                if f.endswith(".png")]) == 2
