@@ -103,3 +103,34 @@ def baseline_generate(pipe, params, cond_ids, uncond_ids, key,
         # normalize to pipe.generate's (images, taps) shape
         return out if isinstance(out, tuple) else (out, None)
     return pipe.generate(params, cond_ids, uncond_ids, key, **kw)
+
+
+def make_protocol_generate(pipe, generate_kwargs: dict, tokenize):
+    """run_eval-compatible generate_fn for a loaded baseline, or None when
+    the stock `pipe.generate` is correct. SLD baselines wrap `sld_generate`
+    with the tokenized safety concept (the reference evaluates SLD through
+    the same benchmark drivers, i2p_eval.py:134-194)."""
+    if not generate_kwargs.get("use_sld"):
+        return None
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_models_moe_tpu.pipelines.sld import (SAFETY_CONCEPT,
+                                                        sld_generate)
+    safety_row = np.asarray(tokenize([SAFETY_CONCEPT]))
+
+    def gen(params, cond_ids, uncond_ids, key, *, num_steps=None,
+            guidance_scale=None, ivs=None, mesh=None, seeds=None, **kw):
+        if ivs is not None:
+            raise ValueError("the SLD baseline is a comparison model — "
+                             "interventions don't apply to it")
+        if mesh is not None or seeds is not None:
+            raise ValueError("SLD baseline generate supports neither mesh "
+                             "sharding nor per-prompt seeds yet")
+        safety = jnp.asarray(np.repeat(safety_row, cond_ids.shape[0], axis=0))
+        imgs = sld_generate(pipe, params, cond_ids, uncond_ids, safety, key,
+                            num_steps=num_steps,
+                            guidance_scale=guidance_scale)
+        return imgs, None
+
+    return gen

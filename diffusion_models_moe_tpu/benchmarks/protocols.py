@@ -32,7 +32,8 @@ def _load_pngs(out_dir: str, prefix: str, n: int) -> list[np.ndarray]:
 
 def i2p_protocol(pipe, params, tokenize, out_dir: str, detector,
                  variant: str = "", ivs=None, limit: Optional[int] = None,
-                 num_steps: int = 50, batch_size: int = 4, mesh=None) -> dict:
+                 num_steps: int = 50, batch_size: int = 4, mesh=None,
+                 generate_fn=None) -> dict:
     """I2P nudity eval at the reference operating point: the shipped
     i2p_prompts_seed_0*.txt prompts, NudeNet 9-label counting at 0.5
     (reference: benchmarks/i2p_eval.py)."""
@@ -43,7 +44,8 @@ def i2p_protocol(pipe, params, tokenize, out_dir: str, detector,
         prompts = prompts[:limit]
     cfg = EvalRunConfig(out_dir=out_dir, batch_size=batch_size,
                         num_steps=num_steps, save_baseline=False)
-    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh,
+             generate_fn=generate_fn)
     images = _load_pngs(out_dir, "removed", len(prompts))
     result = count_harmful(detector(images))
     result["n_prompts"] = len(prompts)
@@ -57,7 +59,8 @@ def memorization_protocol(pipe, params, tokenize, out_dir: str,
                           split: int | str = "", ivs=None,
                           gt_images: Optional[np.ndarray] = None,
                           limit: Optional[int] = None, num_steps: int = 50,
-                          batch_size: int = 4, mesh=None) -> dict:
+                          batch_size: int = 4, mesh=None,
+                 generate_fn=None) -> dict:
     """Memorization eval: generate the shipped memorized LAION captions and
     score SSCD-style similarity of with-intervention generations against
     baseline generations (or supplied ground-truth images)
@@ -70,7 +73,8 @@ def memorization_protocol(pipe, params, tokenize, out_dir: str,
         prompts = prompts[:limit]
     cfg = EvalRunConfig(out_dir=out_dir, batch_size=batch_size,
                         num_steps=num_steps, save_baseline=True)
-    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh,
+             generate_fn=generate_fn)
     gen = np.stack(_load_pngs(out_dir, "removed", len(prompts)))
     if gt_images is None:
         # no LAION ground truth in-env: baseline generations are the
@@ -90,7 +94,8 @@ def object_erasure_protocol(pipe, params, tokenize, out_dir: str,
                             classes: Optional[Sequence[str]] = None,
                             ivs=None, limit: Optional[int] = None,
                             num_steps: int = 50, batch_size: int = 4,
-                            mesh=None) -> dict:
+                            mesh=None,
+                 generate_fn=None) -> dict:
     """Object erasure at the reference operating point: generate the target
     object's prompts (erase split) and every other imagenette object's prompts
     (keep split) under the intervention, then judge with a classifier over the
@@ -115,7 +120,8 @@ def object_erasure_protocol(pipe, params, tokenize, out_dir: str,
         cfg = EvalRunConfig(out_dir=os.path.join(out_dir, sub),
                             batch_size=batch_size, num_steps=num_steps,
                             save_baseline=False)
-        run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+        run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh,
+             generate_fn=generate_fn)
     erased = np.stack(_load_pngs(os.path.join(out_dir, "erase"), "removed",
                                  len(erase_prompts)))
     kept = np.stack(_load_pngs(os.path.join(out_dir, "keep"), "removed",
@@ -136,7 +142,8 @@ def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
                             n_artists: int = 100, part: int = 1, ivs=None,
                             limit: Optional[int] = None, num_steps: int = 50,
                             batch_size: int = 4, seed: int = 0,
-                            mesh=None, text_featurize=None) -> dict:
+                            mesh=None, text_featurize=None,
+                 generate_fn=None) -> dict:
     """Artist-style removal: per-artist style prompts from the shipped
     {n}artists lists, CLIP image-image similarity of baseline vs removed and
     removal accuracy (reference: benchmarks/artist_removal.py:59-70,180-210).
@@ -158,7 +165,8 @@ def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
     prompts = [f"a painting in the style of {a}" for a in artists]
     cfg = EvalRunConfig(out_dir=out_dir, batch_size=batch_size,
                         num_steps=num_steps, seed=seed, save_baseline=True)
-    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh)
+    run_eval(pipe, params, tokenize, prompts, cfg, ivs=ivs, mesh=mesh,
+             generate_fn=generate_fn)
     base = np.stack(_load_pngs(out_dir, "sd", len(prompts)))
     removed = np.stack(_load_pngs(out_dir, "removed", len(prompts)))
 

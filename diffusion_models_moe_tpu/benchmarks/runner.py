@@ -42,10 +42,15 @@ def _pad_batch(ids: np.ndarray, batch: int) -> tuple[np.ndarray, int]:
 def run_eval(pipe, params, tokenize: Callable[[Sequence[str]], np.ndarray],
              prompts: Sequence[str], cfg: EvalRunConfig,
              ivs=None, name_fn: Optional[Callable[[int], str]] = None,
-             mesh=None) -> dict:
+             mesh=None, generate_fn: Optional[Callable] = None) -> dict:
     """Generate images for `prompts`, optionally twice (baseline + intervened),
     saving `{out_dir}/sd_{i}.png` and `{out_dir}/removed_{i}.png` pairs (the
-    reference's file naming, benchmarks/eval_coco.py:259-281)."""
+    reference's file naming, benchmarks/eval_coco.py:259-281).
+
+    `generate_fn` overrides `pipe.generate` with the same keyword contract —
+    the hook that runs protocols over alternative samplers (SLD baseline via
+    `baselines.make_protocol_generate`; reference: i2p_eval.py:134-194 SLD
+    rows)."""
     from diffusion_models_moe_tpu.pipelines.stable_diffusion import to_pil
 
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -81,19 +86,20 @@ def run_eval(pipe, params, tokenize: Callable[[Sequence[str]], np.ndarray],
             seeds = np.asarray(chunk_seeds + [chunk_seeds[-1]] * (b - n_real),
                                np.uint32)
 
+        gen = generate_fn or pipe.generate
         if cfg.save_baseline:
-            imgs, _ = pipe.generate(params, jnp.asarray(cond_ids),
-                                    jnp.asarray(uncond_ids), key,
-                                    num_steps=cfg.num_steps,
-                                    guidance_scale=cfg.guidance_scale,
-                                    mesh=mesh, seeds=seeds)
+            imgs, _ = gen(params, jnp.asarray(cond_ids),
+                          jnp.asarray(uncond_ids), key,
+                          num_steps=cfg.num_steps,
+                          guidance_scale=cfg.guidance_scale,
+                          mesh=mesh, seeds=seeds)
             for img, i in zip(to_pil(imgs[:n_real]), idxs):
                 img.save(os.path.join(cfg.out_dir, f"sd_{name_fn(i)}.png"))
-        imgs, _ = pipe.generate(params, jnp.asarray(cond_ids),
-                                jnp.asarray(uncond_ids), key,
-                                num_steps=cfg.num_steps,
-                                guidance_scale=cfg.guidance_scale, ivs=ivs,
-                                mesh=mesh, seeds=seeds)
+        imgs, _ = gen(params, jnp.asarray(cond_ids),
+                      jnp.asarray(uncond_ids), key,
+                      num_steps=cfg.num_steps,
+                      guidance_scale=cfg.guidance_scale, ivs=ivs,
+                      mesh=mesh, seeds=seeds)
         for img, i in zip(to_pil(imgs[:n_real]), idxs):
             img.save(os.path.join(cfg.out_dir, f"removed_{name_fn(i)}.png"))
         done += len(chunk)

@@ -283,7 +283,23 @@ def cmd_protocol(args):
     import jax
     from diffusion_models_moe_tpu.benchmarks import protocols as proto
 
-    pipe, params, tokenize = _load_pipe(args)
+    generate_fn = None
+    if args.baseline:
+        # comparison-model mode (reference: eval_baselines.py + the baseline
+        # rows of i2p_eval/eval_coco): the protocol runs over a registered
+        # baseline checkpoint instead of the default SD1.5 + interventions
+        if not args.snapshot:
+            raise SystemExit("--baseline needs --snapshot (the baseline's "
+                             "diffusers-layout checkpoint)")
+        _maybe_force_cpu(args)
+        from diffusion_models_moe_tpu.benchmarks.baselines import (
+            load_baseline, make_protocol_generate)
+        from diffusion_models_moe_tpu.data.tokenizer import load_tokenizer
+        pipe, params, gkw = load_baseline(args.baseline, args.snapshot)
+        tokenize = load_tokenizer(os.path.join(args.snapshot, "tokenizer"))
+        generate_fn = make_protocol_generate(pipe, gkw, tokenize)
+    else:
+        pipe, params, tokenize = _load_pipe(args)
     ivs = None
     if args.masks and args.name != "unified":
         # 'unified' parses --masks itself ("name=path,..." per-concept bank)
@@ -296,7 +312,7 @@ def cmd_protocol(args):
         mesh = create_mesh(dp=len(jax.devices()), tp=1)
     common = dict(ivs=ivs, limit=args.limit or None,
                   num_steps=args.steps or 50, batch_size=args.batch,
-                  mesh=mesh)
+                  mesh=mesh, generate_fn=generate_fn)
 
     def clip_featurize():
         from diffusion_models_moe_tpu.benchmarks.fid import (
@@ -962,6 +978,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "space (objects/debias zero-shot judges)")
     sp.add_argument("--prompts-file", default=None,
                     help="prompt CSV for 'unified' (combined artists+i2p)")
+    sp.add_argument("--baseline", default=None,
+                    help="run over a registry baseline (uce/esd/sld/sd2/...)"
+                         " loaded from --snapshot (benchmarks/baselines.py)")
     sp.add_argument("--anchor", default="a photo",
                     help="no-concept anchor text for 'unified' checkers")
     sp.add_argument("--margin", type=float, default=0.0,

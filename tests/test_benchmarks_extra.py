@@ -266,3 +266,43 @@ def test_run_eval_backfills_baselines(tmp_path):
     s = run_eval(pipe, params, tokenize, ["p", "q"], cfg1)
     assert s["generated"] == 2
     assert any(f.startswith("sd_") for f in os.listdir(tmp_path))
+
+
+def test_run_eval_with_sld_baseline_generate_fn(tmp_path):
+    """run_eval's generate_fn hook: the SLD-baseline adapter drives the full
+    eval loop (reference: i2p_eval.py SLD rows through the same driver)."""
+    import jax
+    import numpy as np
+
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+    from diffusion_models_moe_tpu.benchmarks.baselines import (
+        make_protocol_generate)
+    from diffusion_models_moe_tpu.benchmarks.runner import (EvalRunConfig,
+                                                            run_eval)
+
+    pipe = StableDiffusionPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    vocab = pipe.config.text_encoder.vocab_size
+    maxlen = pipe.config.text_encoder.max_length
+
+    def tokenize(texts):
+        return np.asarray([[min(len(t) + j, vocab - 1)
+                            for j in range(maxlen)] for t in texts], np.int32)
+
+    gen = make_protocol_generate(pipe, {"use_sld": True}, tokenize)
+    assert gen is not None
+    assert make_protocol_generate(pipe, {}, tokenize) is None
+
+    cfg = EvalRunConfig(out_dir=str(tmp_path), batch_size=2, num_steps=2,
+                        save_baseline=False)
+    out = run_eval(pipe, params, tokenize, ["a dog", "a cat"], cfg,
+                   generate_fn=gen)
+    assert out["generated"] == 2
+    import os
+    assert os.path.exists(tmp_path / "removed_0.png")
+
+    # the adapter refuses modes SLD can't honor instead of ignoring them
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gen(params, tokenize(["x"]), tokenize([""]), jax.random.PRNGKey(0),
+            ivs=object())
