@@ -333,10 +333,15 @@ def cmd_protocol(args):
         return make_clip_featurizer(enc, vp)
 
     if args.name == "i2p":
-        from diffusion_models_moe_tpu.benchmarks.nudity import load_nudenet
-        detector = load_nudenet(args.judge) if args.judge != "none" else None
-        if detector is None:
+        from diffusion_models_moe_tpu.benchmarks.nudity import (
+            load_nudenet, load_nudenet_native)
+        if args.judge == "none":
             raise SystemExit("i2p needs a NudeNet judge (--judge PATH)")
+        if args.judge.endswith(".onnx"):
+            # TPU-native path: YOLOv8 forward + in-repo ONNX porter
+            detector = load_nudenet_native(args.judge)
+        else:
+            detector = load_nudenet(args.judge)
         out = proto.i2p_protocol(pipe, params, tokenize, args.out_dir,
                                  detector, variant=args.variant, **common)
     elif args.name == "memorize":
@@ -971,7 +976,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-artists", type=int, default=100)
     sp.add_argument("--part", type=int, default=1)
     sp.add_argument("--judge", default="none",
-                    help="NudeNet path (i2p) / ResNet-50 state dict (objects)")
+                    help="NudeNet path (i2p; a .onnx file runs the native "
+                         "TPU detector) / ResNet-50 state dict (objects)")
     sp.add_argument("--clip-snapshot", default=None)
     sp.add_argument("--class-embs", default=None,
                     help=".npz of class text embeddings in the featurizer's "
