@@ -6,10 +6,13 @@ modularity/mod_utils.py:195-290, modularity/qwen_score.py:15-45): a VLM is asked
 structured questions about generated images before/after concept removal; answers are
 parsed into object-presence and style scores.
 
-The VLM is an injected callable (`vqa(image, question) -> answer text`) so any local
-checkpoint (via transformers) or remote judge can plug in; the question protocol and
-answer parsing are self-contained and tested. `load_transformers_vqa` builds the
-callable from a local snapshot when one exists.
+The VLM judge runs NATIVELY on TPU: `load_llava_native` ports an HF llava-1.5
+snapshot into the in-repo CLIP-vision + Llama stack (models/llava.py,
+weights/port_llava.py — KV-cache greedy decode, transformers-parity tested)
+and returns the standard callable. The injected interface
+(`vqa(image, question) -> answer text`) remains, so any local transformers
+checkpoint (`load_transformers_vqa`) or remote judge still plugs in; the
+question protocol and answer parsing are self-contained and tested.
 """
 from __future__ import annotations
 
@@ -39,6 +42,33 @@ def load_transformers_vqa(model_path: str) -> VQAFn:
         return text
 
     return vqa
+
+
+def load_llava_native(snapshot_dir: str, size: str = "auto",
+                      max_new_tokens: int = 32) -> VQAFn:
+    """TPU-native LLaVA-1.5 judge from an HF snapshot directory.
+
+    size: '7b' | '13b' | 'auto' (reads config.json's text hidden size).
+    The returned callable is the same VQAFn every protocol here consumes."""
+    import json
+    import os
+
+    from diffusion_models_moe_tpu.data.tokenizer import load_llama_tokenizer
+    from diffusion_models_moe_tpu.models.llava import build_vqa
+    from diffusion_models_moe_tpu.weights.port_llava import (llava_7b_config,
+                                                             llava_13b_config,
+                                                             port_llava)
+
+    if size == "auto":
+        with open(os.path.join(snapshot_dir, "config.json")) as f:
+            hidden = json.load(f).get("text_config", {}).get("hidden_size",
+                                                             4096)
+        size = "13b" if hidden == 5120 else "7b"
+    cfg = llava_13b_config() if size == "13b" else llava_7b_config()
+    params = port_llava(snapshot_dir, cfg)
+    encode, decode = load_llama_tokenizer(snapshot_dir)
+    return build_vqa(params, cfg, encode, decode,
+                     max_new_tokens=max_new_tokens)
 
 
 def object_question(obj: str) -> str:

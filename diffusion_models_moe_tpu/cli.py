@@ -574,6 +574,46 @@ def cmd_train(args):
     print(json.dumps({"steps": int(state.step), "out_dir": args.out_dir}))
 
 
+def cmd_vqa(args):
+    """Multiple-choice VLM scoring over before/after removal image
+    directories — the reference's LLAVAScorer loop (mod_utils.py:195-290).
+    `--judge` is an HF llava-1.5 snapshot run NATIVELY on TPU
+    (benchmarks/vqa.py:load_llava_native), or any transformers
+    image-text-to-text checkpoint with `--judge-kind transformers`."""
+    _maybe_force_cpu(args)
+    from PIL import Image
+
+    from diffusion_models_moe_tpu.benchmarks.vqa import (
+        MultipleChoiceScorer, load_llava_native, load_transformers_vqa)
+
+    vqa = (load_llava_native(args.judge) if args.judge_kind == "native"
+           else load_transformers_vqa(args.judge))
+    objects = [o.strip() for o in args.objects.split(",")]
+
+    def load_dir(d):
+        names = sorted(f for f in os.listdir(d)
+                       if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if len(names) != len(objects):
+            raise SystemExit(f"{d}: {len(names)} images for "
+                             f"{len(objects)} objects")
+        return [np.asarray(Image.open(os.path.join(d, f)).convert("RGB"))
+                for f in names]
+
+    scorer = MultipleChoiceScorer(vqa, objects, args.concept)
+    for before, d, label in ((True, args.before_dir, args.label_before),
+                             (False, args.after_dir, args.label_after)):
+        if d is None:
+            continue
+        for i, img in enumerate(load_dir(d)):
+            scorer.object_score(img, i, before=before)
+            scorer.style_score(img, i, label, before=before)
+    results = scorer.get_results()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
 def cmd_iqa(args):
     """CLIP-IQA quality/concept report over three image directories (base /
     concept / after-removal) — the reference's clip_score.py scorer
@@ -992,6 +1032,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--margin", type=float, default=0.0,
                     help="checker margin for 'unified'")
     sp.set_defaults(fn=cmd_protocol)
+
+    sp = sub.add_parser("vqa")
+    sp.add_argument("--judge", required=True,
+                    help="llava-1.5 snapshot (native TPU judge) or "
+                         "transformers checkpoint path")
+    sp.add_argument("--judge-kind", default="native",
+                    choices=["native", "transformers"])
+    sp.add_argument("--before-dir", default=None)
+    sp.add_argument("--after-dir", default=None)
+    sp.add_argument("--objects", required=True,
+                    help="comma-separated ground-truth object per image "
+                         "(sorted filename order)")
+    sp.add_argument("--concept", required=True,
+                    help="style/gender/scene question key (e.g. 'Van Gogh')")
+    sp.add_argument("--label-before", type=int, default=2,
+                    help="expected 1-based option before removal "
+                         "(2 = concept present)")
+    sp.add_argument("--label-after", type=int, default=1)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--cpu", action="store_true")
+    sp.set_defaults(fn=cmd_vqa)
 
     sp = sub.add_parser("iqa")
     sp.add_argument("--base-dir", required=True)

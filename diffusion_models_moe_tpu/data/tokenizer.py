@@ -220,3 +220,38 @@ def load_t5_tokenizer(path: str, max_length: int = 120):
         return ids, mask
 
     return tokenize
+
+
+def load_llama_tokenizer(path: str):
+    """Llama/Vicuna tokenizer for the native LLaVA judge (models/llava.py).
+
+    Loads `tokenizer.json` (HF fast format; llava-hf snapshots ship it with
+    '<image>' registered as an added token) or converts `tokenizer.model`
+    (sentencepiece BPE) via the `tokenizers` library. Returns
+    (encode, decode): encode(text) -> 1D int32 ids with BOS prepended;
+    decode(ids) -> text with sentencepiece whitespace markers resolved."""
+    import numpy as np
+
+    json_path = os.path.join(path, "tokenizer.json")
+    spm_path = os.path.join(path, "tokenizer.model")
+    if os.path.exists(json_path):
+        from tokenizers import Tokenizer
+        tok = Tokenizer.from_file(json_path)
+    elif os.path.exists(spm_path):
+        from tokenizers.implementations import SentencePieceBPETokenizer
+        tok = SentencePieceBPETokenizer.from_spm(spm_path)._tokenizer
+    else:
+        raise FileNotFoundError(
+            f"no tokenizer.json or tokenizer.model under {path!r}")
+    bos_id = tok.token_to_id("<s>")
+
+    def encode(text: str) -> np.ndarray:
+        ids = tok.encode(text).ids
+        if bos_id is not None and (not ids or ids[0] != bos_id):
+            ids = [bos_id] + list(ids)
+        return np.asarray(ids, np.int32)
+
+    def decode(ids) -> str:
+        return tok.decode([int(i) for i in ids]).strip()
+
+    return encode, decode

@@ -62,11 +62,19 @@ class _VisionBlock(nn.Module):
 
 
 class CLIPVisionEncoder(nn.Module):
-    """images (B, H, W, 3) in [0, 1] -> projected, L2-normalized embeddings (B, P)."""
+    """images (B, H, W, 3) in [0, 1] -> projected, L2-normalized embeddings (B, P).
+
+    `feature_layer` (e.g. -2 for LLaVA's penultimate-layer patch features)
+    instead returns the (B, 1+P, hidden) hidden states after running
+    `num_layers + feature_layer + 1` blocks — HF's
+    `hidden_states[feature_layer]` indexing, where -1 is the full stack — with
+    no post-layernorm and no projection. CLS stays at token 0 (LLaVA's
+    'default' select strategy drops it caller-side)."""
     cfg: CLIPVisionConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array, normalize: bool = True) -> jax.Array:
+    def __call__(self, images: jax.Array, normalize: bool = True,
+                 feature_layer: int | None = None) -> jax.Array:
         cfg = self.cfg
         x = (images - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
         x = x.astype(cfg.dtype)
@@ -87,8 +95,17 @@ class CLIPVisionEncoder(nn.Module):
         x = x + pos[None].astype(cfg.dtype)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="pre_layernorm")(x).astype(cfg.dtype)
-        for i in range(cfg.num_layers):
+        n_blocks = cfg.num_layers
+        if feature_layer is not None:
+            n_blocks = (feature_layer + 1 if feature_layer >= 0
+                        else cfg.num_layers + feature_layer + 1)
+            if not 0 < n_blocks <= cfg.num_layers:
+                raise ValueError(f"feature_layer {feature_layer} out of range "
+                                 f"for {cfg.num_layers} layers")
+        for i in range(n_blocks):
             x = _VisionBlock(cfg, name=f"layers_{i}")(x)
+        if feature_layer is not None:
+            return x
         pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                               name="post_layernorm")(x[:, 0])
         emb = nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,

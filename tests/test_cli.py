@@ -273,3 +273,42 @@ def test_cli_protocol_unified(tmp_path, capsys):
     import os
     assert len([f for f in os.listdir(tmp_path / "out")
                 if f.endswith(".png")]) == 2
+
+
+def test_cli_vqa(tmp_path, monkeypatch, capsys):
+    """cli vqa: before/after dirs -> multiple-choice scores with a scripted
+    judge standing in for the native LLaVA loader."""
+    import json as _json
+
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    for name in ("before", "after"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (24, 24, 3), np.uint8)).save(
+                str(d / f"img_{i}.png"))
+
+    calls = []
+
+    def fake_judge(image, question):
+        calls.append(question)
+        return "1"  # always option 1: cat / photo
+
+    monkeypatch.setattr(
+        "diffusion_models_moe_tpu.benchmarks.vqa.load_llava_native",
+        lambda path: fake_judge)
+    out = tmp_path / "res.json"
+    main(["vqa", "--cpu", "--judge", "unused", "--before-dir",
+          str(tmp_path / "before"), "--after-dir", str(tmp_path / "after"),
+          "--objects", "cat,dog", "--concept", "Van Gogh",
+          "--out", str(out)])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # object: gt cat scores 1, gt dog scores 0; style '1'=photo, so
+    # before (expects 2) scores 0 and after (expects 1) scores 1
+    assert res["before_removal"]["object_score"] == 0.5
+    assert res["before_removal"]["style_score"] == 0.0
+    assert res["after_removal"]["style_score"] == 1.0
+    assert _json.load(open(out)) == res
+    assert any("(1)cat (2)dog" in q for q in calls)
