@@ -71,6 +71,30 @@ def load_llava_native(snapshot_dir: str, size: str = "auto",
                      max_new_tokens=max_new_tokens)
 
 
+def load_qwen2vl_native(snapshot_dir: str, size: str = "auto",
+                        max_new_tokens: int = 32) -> VQAFn:
+    """TPU-native Qwen2-VL judge from an HF snapshot directory (the modern
+    stand-in for the reference's trust_remote_code Qwen-VL-Chat scorer,
+    qwen_score.py:15-45). size: '2b' | '7b' | 'auto'."""
+    import json
+    import os
+
+    from diffusion_models_moe_tpu.data.tokenizer import load_qwen_tokenizer
+    from diffusion_models_moe_tpu.models.qwen2vl import build_vqa
+    from diffusion_models_moe_tpu.weights.port_qwen2vl import (
+        port_qwen2vl, qwen2vl_2b_config, qwen2vl_7b_config)
+
+    if size == "auto":
+        with open(os.path.join(snapshot_dir, "config.json")) as f:
+            hidden = json.load(f).get("hidden_size", 3584)
+        size = "2b" if hidden == 1536 else "7b"
+    cfg = qwen2vl_2b_config() if size == "2b" else qwen2vl_7b_config()
+    params = port_qwen2vl(snapshot_dir, cfg)
+    encode, decode = load_qwen_tokenizer(snapshot_dir)
+    return build_vqa(params, cfg, encode, decode,
+                     max_new_tokens=max_new_tokens)
+
+
 def object_question(obj: str) -> str:
     """Object-presence question (reference: mod_utils.py LLAVAScorer object path)."""
     return (f"Is there a {obj} in the image? "

@@ -584,10 +584,12 @@ def cmd_vqa(args):
     from PIL import Image
 
     from diffusion_models_moe_tpu.benchmarks.vqa import (
-        MultipleChoiceScorer, load_llava_native, load_transformers_vqa)
+        MultipleChoiceScorer, load_llava_native, load_qwen2vl_native,
+        load_transformers_vqa)
 
-    vqa = (load_llava_native(args.judge) if args.judge_kind == "native"
-           else load_transformers_vqa(args.judge))
+    vqa = {"native": load_llava_native,
+           "qwen": load_qwen2vl_native,
+           "transformers": load_transformers_vqa}[args.judge_kind](args.judge)
     objects = [o.strip() for o in args.objects.split(",")]
 
     def load_dir(d):
@@ -1038,7 +1040,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="llava-1.5 snapshot (native TPU judge) or "
                          "transformers checkpoint path")
     sp.add_argument("--judge-kind", default="native",
-                    choices=["native", "transformers"])
+                    choices=["native", "qwen", "transformers"],
+                    help="native = llava-1.5 on TPU, qwen = Qwen2-VL on TPU, "
+                         "transformers = any local image-text-to-text model")
     sp.add_argument("--before-dir", default=None)
     sp.add_argument("--after-dir", default=None)
     sp.add_argument("--objects", required=True,

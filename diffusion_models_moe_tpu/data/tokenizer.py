@@ -255,3 +255,25 @@ def load_llama_tokenizer(path: str):
         return tok.decode([int(i) for i in ids]).strip()
 
     return encode, decode
+
+
+def load_qwen_tokenizer(path: str):
+    """Qwen2/Qwen2-VL tokenizer (byte-level BPE, no BOS) for the native
+    Qwen2-VL judge. Loads `tokenizer.json`; the special-token strings
+    (<|im_start|> etc.) are added tokens there and encode to single ids.
+    Returns (encode, decode) like load_llama_tokenizer."""
+    import numpy as np
+
+    json_path = os.path.join(path, "tokenizer.json")
+    if not os.path.exists(json_path):
+        raise FileNotFoundError(f"no tokenizer.json under {path!r}")
+    from tokenizers import Tokenizer
+    tok = Tokenizer.from_file(json_path)
+
+    def encode(text: str) -> np.ndarray:
+        return np.asarray(tok.encode(text).ids, np.int32)
+
+    def decode(ids) -> str:
+        return tok.decode([int(i) for i in ids]).strip()
+
+    return encode, decode

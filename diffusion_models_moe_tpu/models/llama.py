@@ -34,7 +34,13 @@ NEG_INF = -1e9
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
-    """Defaults are Llama/Vicuna-7B, LLaVA-1.5's LM."""
+    """Defaults are Llama/Vicuna-7B, LLaVA-1.5's LM.
+
+    The same stack serves Qwen2 geometries (the Qwen2-VL judge LM): Qwen2 is
+    this architecture with bias on the q/k/v projections (`attention_bias`)
+    and, for Qwen2-VL, 3D multimodal RoPE (`mrope_section` — channel sections
+    rotated by the temporal/height/width position axes; HF
+    apply_multimodal_rotary_pos_emb semantics)."""
     vocab_size: int = 32000
     hidden_size: int = 4096
     intermediate_size: int = 11008
@@ -43,6 +49,8 @@ class LlamaConfig:
     num_kv_heads: int = 32
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
+    attention_bias: bool = False
+    mrope_section: tuple = ()          # empty = standard 1D RoPE
     dtype: Any = jnp.float32
 
     @property
@@ -65,6 +73,23 @@ def rope_cos_sin(positions: jax.Array, head_dim: int,
     ang = positions.astype(jnp.float32)[..., None] * inv  # (..., S, d/2)
     ang = jnp.concatenate([ang, ang], axis=-1)
     return jnp.cos(ang), jnp.sin(ang)
+
+
+def mrope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                  section: tuple) -> tuple[jax.Array, jax.Array]:
+    """Multimodal 3D RoPE (Qwen2-VL): positions (3, B, S) for the
+    temporal/height/width axes -> cos/sin (B, S, head_dim) where channel
+    section i (of the doubled `section` list) rotates by axis i % 3."""
+    import numpy as np
+    if positions.ndim == 2:  # text-only: all three axes share the position
+        positions = jnp.broadcast_to(positions[None], (3,) + positions.shape)
+    cos3, sin3 = rope_cos_sin(positions, head_dim, theta)  # (3, B, S, hd)
+    axis_of = np.repeat(np.arange(len(section) * 2) % 3,
+                        np.tile(np.asarray(section), 2))   # (hd,)
+    onehot = jnp.asarray(np.eye(3, dtype=np.float32)[axis_of].T)  # (3, hd)
+    cos = jnp.einsum("absd,ad->bsd", cos3, onehot)
+    sin = jnp.einsum("absd,ad->bsd", sin3, onehot)
+    return cos, sin
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -105,8 +130,8 @@ class _Attention(nn.Module):
         hd = cfg.head_dim
 
         def proj(n_heads, name):
-            y = nn.Dense(n_heads * hd, use_bias=False, dtype=cfg.dtype,
-                         name=name)(x)
+            y = nn.Dense(n_heads * hd, use_bias=cfg.attention_bias,
+                         dtype=cfg.dtype, name=name)(x)
             return y.reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
 
         q = apply_rope(proj(cfg.num_heads, "q_proj"), cos, sin)
@@ -182,7 +207,11 @@ class LlamaModel(nn.Module):
     def __call__(self, embeds, positions, kv_mask, caches=None,
                  cache_pos=None):
         cfg = self.cfg
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.mrope_section:
+            cos, sin = mrope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                                     cfg.mrope_section)
+        else:
+            cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
         x = embeds.astype(cfg.dtype)
         new_caches = []
         for i in range(cfg.num_layers):
@@ -209,20 +238,30 @@ def init_cache(cfg: LlamaConfig, batch: int, size: int) -> list:
 
 def greedy_decode(model: LlamaModel, params: dict, embeds: jax.Array,
                   lengths: jax.Array, max_new_tokens: int,
-                  eos_id: int, pad_id: int = 0) -> jax.Array:
+                  eos_id: int, pad_id: int = 0,
+                  prefill_positions: Optional[jax.Array] = None,
+                  pos_offset: Optional[jax.Array] = None) -> jax.Array:
     """Greedy decode from right-padded prompt embeddings.
 
     embeds (B, P, D); lengths (B,) valid prompt lengths. Prefill seeds a
     (P + max_new_tokens)-slot cache; a lax.scan appends one token per step.
     Returns (B, max_new_tokens) int32, pad_id after each sample's EOS.
     Pure function of arrays — jit/shard at the call site.
+
+    Multimodal RoPE (Qwen2-VL): pass `prefill_positions` ((3, B, P) from
+    get_rope_index) and `pos_offset` (B,) = max prompt position + 1 - length
+    (HF's mrope_position_deltas), so generated tokens continue from the max
+    position rather than the sequence slot.
     """
     lp = {k: v for k, v in params.items() if k != "embed_tokens"}
     emb_table = jnp.asarray(params["embed_tokens"])
     b, p, _ = embeds.shape
     cache_size = p + max_new_tokens
-    positions = jnp.broadcast_to(jnp.arange(p), (b, p))
-    pad_mask = positions < lengths[:, None]
+    slot = jnp.broadcast_to(jnp.arange(p), (b, p))
+    positions = slot if prefill_positions is None else prefill_positions
+    pad_mask = slot < lengths[:, None]
+    if pos_offset is None:
+        pos_offset = jnp.zeros((b,), jnp.int32)
 
     logits, kvs = model.apply({"params": lp}, embeds, positions, pad_mask)
     # seed the fixed-size cache with the prefill K/V (slot index == position)
@@ -239,7 +278,7 @@ def greedy_decode(model: LlamaModel, params: dict, embeds: jax.Array,
     def step(carry, _):
         caches, tok, cur_len, finished = carry
         x = emb_table[tok][:, None]
-        pos = cur_len[:, None]
+        pos = (cur_len + pos_offset)[:, None]
         kv_mask = slot_ids[None] <= cur_len[:, None]  # prompt + this token
         logits, caches = model.apply({"params": lp}, x, pos, kv_mask,
                                      caches=caches, cache_pos=cur_len)

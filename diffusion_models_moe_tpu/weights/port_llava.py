@@ -58,19 +58,30 @@ def port_llama(sd: dict, cfg: LlamaConfig, prefix: str = "") -> dict:
                     "norm": {"weight": np.asarray(
                         sd[f"{p}model.norm.weight"], np.float32)}}
     lm_key = f"{p}lm_head.weight"
-    if lm_key not in sd and prefix and "lm_head.weight" in sd:
+    if lm_key not in sd and "lm_head.weight" in sd:
         lm_key = "lm_head.weight"  # llava-hf keeps lm_head outside the prefix
-    params["lm_head"] = {"kernel": _t(sd[lm_key])}
+    if lm_key in sd:
+        params["lm_head"] = {"kernel": _t(sd[lm_key])}
+    else:  # tied embeddings (e.g. Qwen2-VL-2B)
+        params["lm_head"] = {"kernel": np.ascontiguousarray(
+            params["embed_tokens"].T)}
     for i in range(cfg.num_layers):
         lp = f"{p}model.layers.{i}"
+
+        def attn(name):
+            out = {"kernel": _t(sd[f"{lp}.self_attn.{name}.weight"])}
+            bias = f"{lp}.self_attn.{name}.bias"
+            if bias in sd:  # Qwen2 puts biases on q/k/v
+                out["bias"] = np.asarray(sd[bias], np.float32)
+            return out
+
         params[f"layers_{i}"] = {
             "input_layernorm": {"weight": np.asarray(
                 sd[f"{lp}.input_layernorm.weight"], np.float32)},
             "post_attention_layernorm": {"weight": np.asarray(
                 sd[f"{lp}.post_attention_layernorm.weight"], np.float32)},
-            "self_attn": {
-                name: {"kernel": _t(sd[f"{lp}.self_attn.{name}.weight"])}
-                for name in ("q_proj", "k_proj", "v_proj", "o_proj")},
+            "self_attn": {name: attn(name) for name in
+                          ("q_proj", "k_proj", "v_proj", "o_proj")},
             "gate_proj": {"kernel": _t(sd[f"{lp}.mlp.gate_proj.weight"])},
             "up_proj": {"kernel": _t(sd[f"{lp}.mlp.up_proj.weight"])},
             "down_proj": {"kernel": _t(sd[f"{lp}.mlp.down_proj.weight"])},

@@ -1,0 +1,165 @@
+"""Golden parity for the native Qwen2-VL judge vs transformers at tiny dims.
+
+Anchors models/qwen2vl.py + weights/port_qwen2vl.py against random-weight
+torch Qwen2VLForConditionalGeneration: vision features over a real grid,
+3D rope indices, M-RoPE text logits, and multimodal greedy generate.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from diffusion_models_moe_tpu.models.llama import (LlamaModel, embed_tokens,
+                                                   greedy_decode)
+from diffusion_models_moe_tpu.models.qwen2vl import (Qwen2VisionTower,
+                                                     build_vqa, generate,
+                                                     preprocess_image,
+                                                     prompt_ids, rope_index,
+                                                     smart_resize,
+                                                     tiny_qwen2vl_config)
+from diffusion_models_moe_tpu.weights.port_qwen2vl import port_qwen2vl_state
+
+VOCAB = 128
+
+
+def _hf_model():
+    from transformers import Qwen2VLConfig as HFConfig
+    from transformers import Qwen2VLForConditionalGeneration
+    torch.manual_seed(11)
+    vc = dict(depth=2, embed_dim=32, hidden_size=48, mlp_ratio=2,
+              num_heads=4, in_channels=3, patch_size=4, spatial_merge_size=2,
+              temporal_patch_size=2)
+    cfg = HFConfig(vocab_size=VOCAB, hidden_size=48, intermediate_size=96,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, max_position_embeddings=128,
+                   rope_theta=10000, rms_norm_eps=1e-6,
+                   tie_word_embeddings=False, vision_config=vc,
+                   image_token_id=120, vision_start_token_id=121,
+                   vision_end_token_id=122,
+                   rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]})
+    return Qwen2VLForConditionalGeneration(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def pair():
+    hf = _hf_model()
+    cfg = tiny_qwen2vl_config()
+    params = port_qwen2vl_state(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+    return hf, cfg, params
+
+
+def _patches(cfg, h=16, w=24, seed=12):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    return preprocess_image(img, cfg.vision, min_pixels=1,
+                            max_pixels=10 ** 9)
+
+
+def test_vision_features_parity(pair):
+    hf, cfg, params = pair
+    patches, grid = _patches(cfg)
+    with torch.no_grad():
+        ref = hf.model.visual(torch.from_numpy(patches),
+                              grid_thw=torch.tensor([list(grid)])).numpy()
+    ours = Qwen2VisionTower(cfg.vision, grid).apply(
+        {"params": params["vision"]}, jnp.asarray(patches))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-5, rtol=1e-4)
+
+
+def test_rope_index_parity(pair):
+    hf, cfg, params = pair
+    patches, grid = _patches(cfg)
+    n_img = patches.shape[0] // 4
+    ids = np.concatenate([[5, 7], [121], [120] * n_img, [122], [9, 11, 13]])
+    ref_pos, ref_delta = hf.model.get_rope_index(
+        torch.from_numpy(ids[None]), torch.tensor([list(grid)]), None, None)
+    pos, delta = rope_index(cfg, ids, grid)
+    np.testing.assert_array_equal(pos, ref_pos.numpy())
+    assert delta == int(ref_delta[0, 0])
+
+
+def test_text_logits_parity(pair):
+    """M-RoPE with equal t/h/w positions + qkv biases (text-only path)."""
+    hf, cfg, params = pair
+    rng = np.random.default_rng(13)
+    ids = rng.integers(0, 100, size=(1, 9))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids)).logits.numpy()
+    model = LlamaModel(cfg.text)
+    lp = {k: v for k, v in params["language"].items() if k != "embed_tokens"}
+    embeds = embed_tokens(params["language"], jnp.asarray(ids))
+    logits, _ = model.apply({"params": lp}, embeds, jnp.arange(9)[None],
+                            jnp.ones((1, 9), bool))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=1e-3)
+
+
+def test_multimodal_generate_parity(pair):
+    hf, cfg, params = pair
+    patches, grid = _patches(cfg, h=16, w=16, seed=14)
+    n_img = patches.shape[0] // 4
+    ids = np.concatenate([[5, 7], [121], [120] * n_img, [122], [9, 11]])
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.from_numpy(ids[None]),
+            pixel_values=torch.from_numpy(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+            max_new_tokens=6, do_sample=False, eos_token_id=None,
+            pad_token_id=0).numpy()[0, len(ids):]
+    toks = generate(params, cfg, ids, patches, grid, max_new_tokens=6)[0]
+    np.testing.assert_array_equal(toks, ref)
+
+
+def test_generate_pad_to_invariance(pair):
+    _, cfg, params = pair
+    patches, grid = _patches(cfg, h=16, w=16, seed=15)
+    n_img = patches.shape[0] // 4
+    ids = np.concatenate([[5], [121], [120] * n_img, [122], [9]])
+    base = generate(params, cfg, ids, patches, grid, max_new_tokens=4)
+    padded = generate(params, cfg, ids, patches, grid, max_new_tokens=4,
+                      pad_to=len(ids) + 13)
+    np.testing.assert_array_equal(base, padded)
+
+
+def test_smart_resize_matches_hf():
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+        smart_resize as hf_smart_resize)
+    for h, w in ((224, 224), (480, 640), (37, 1000), (1333, 57), (28, 28)):
+        assert smart_resize(h, w, 28, 56 * 56, 28 * 28 * 1280) == \
+            hf_smart_resize(h, w, 28, 56 * 56, 28 * 28 * 1280)
+
+
+def test_preprocess_matches_hf_processor(pair):
+    """Patch flattening + normalization vs Qwen2VLImageProcessor."""
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+        Qwen2VLImageProcessor)
+    _, cfg, _ = pair
+    rng = np.random.default_rng(16)
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    proc = Qwen2VLImageProcessor(
+        min_pixels=1, max_pixels=10 ** 9, patch_size=4, temporal_patch_size=2,
+        merge_size=2)
+    out = proc(images=[img], return_tensors="np")
+    patches, grid = preprocess_image(img, cfg.vision, min_pixels=1,
+                                     max_pixels=10 ** 9)
+    np.testing.assert_array_equal(out["image_grid_thw"][0], list(grid))
+    np.testing.assert_allclose(patches, out["pixel_values"], atol=2e-3)
+
+
+def test_build_vqa_end_to_end(pair):
+    _, cfg, params = pair
+
+    def tokenize(text):
+        return np.asarray([3 + (abs(hash(t)) % 100)
+                           for t in text.split()], np.int64)
+
+    detok = lambda ids: " ".join(f"t{t}" for t in ids)
+    vqa = build_vqa(params, cfg, tokenize, detok, max_new_tokens=3,
+                    pad_multiple=16, max_pixels=16 * 16)
+    img = (np.random.default_rng(17).random((33, 49, 3)) * 255).astype(
+        np.uint8)
+    out = vqa(img, "Is there a cat?")
+    assert isinstance(out, str) and len(out.split()) <= 3
