@@ -45,11 +45,16 @@ def load_transformers_vqa(model_path: str) -> VQAFn:
 
 
 def load_llava_native(snapshot_dir: str, size: str = "auto",
-                      max_new_tokens: int = 32) -> VQAFn:
+                      max_new_tokens: int = 32, mesh=None,
+                      quant_int8: bool = False) -> VQAFn:
     """TPU-native LLaVA-1.5 judge from an HF snapshot directory.
 
     size: '7b' | '13b' | 'auto' (reads config.json's text hidden size).
-    The returned callable is the same VQAFn every protocol here consumes."""
+    The returned callable is the same VQAFn every protocol here consumes.
+    `mesh`: a ('dp','tp') jax mesh tensor-parallel-shards the LM
+    (parallel/mesh.py:llama_param_shardings) — the 13B judge does not fit
+    one v5e chip unsharded. `quant_int8`: W8A8 LM projections (halves HBM
+    and runs the MXU at int8 rate; judge answers may differ slightly)."""
     import json
     import os
 
@@ -65,17 +70,41 @@ def load_llava_native(snapshot_dir: str, size: str = "auto",
                                                              4096)
         size = "13b" if hidden == 5120 else "7b"
     cfg = llava_13b_config() if size == "13b" else llava_7b_config()
+    if quant_int8:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, quant_int8=True))
     params = port_llava(snapshot_dir, cfg)
+    params = _shard_judge(params, mesh)
     encode, decode = load_llama_tokenizer(snapshot_dir)
     return build_vqa(params, cfg, encode, decode,
                      max_new_tokens=max_new_tokens)
 
 
+def _shard_judge(params: dict, mesh) -> dict:
+    """Tensor-parallel the 'language' subtree over mesh; replicate the rest."""
+    if mesh is None:
+        return params
+    import jax
+
+    from diffusion_models_moe_tpu.parallel.mesh import (
+        llama_param_shardings, replicated)
+    out = {}
+    for key, tree in params.items():
+        sh = (llama_param_shardings(tree, mesh) if key == "language"
+              else replicated(mesh))
+        out[key] = jax.device_put(tree, sh)
+    return out
+
+
 def load_qwen2vl_native(snapshot_dir: str, size: str = "auto",
-                        max_new_tokens: int = 32) -> VQAFn:
+                        max_new_tokens: int = 32, mesh=None,
+                        quant_int8: bool = False) -> VQAFn:
     """TPU-native Qwen2-VL judge from an HF snapshot directory (the modern
     stand-in for the reference's trust_remote_code Qwen-VL-Chat scorer,
-    qwen_score.py:15-45). size: '2b' | '7b' | 'auto'."""
+    qwen_score.py:15-45). size: '2b' | '7b' | 'auto'. `mesh` tp-shards the
+    LM like load_llava_native (Qwen2-VL-7B has 4 kv heads -> tp <= 4);
+    `quant_int8` enables W8A8 LM projections."""
     import json
     import os
 
@@ -89,7 +118,12 @@ def load_qwen2vl_native(snapshot_dir: str, size: str = "auto",
             hidden = json.load(f).get("hidden_size", 3584)
         size = "2b" if hidden == 1536 else "7b"
     cfg = qwen2vl_2b_config() if size == "2b" else qwen2vl_7b_config()
+    if quant_int8:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, quant_int8=True))
     params = port_qwen2vl(snapshot_dir, cfg)
+    params = _shard_judge(params, mesh)
     encode, decode = load_qwen_tokenizer(snapshot_dir)
     return build_vqa(params, cfg, encode, decode,
                      max_new_tokens=max_new_tokens)

@@ -51,6 +51,8 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     attention_bias: bool = False
     mrope_section: tuple = ()          # empty = standard 1D RoPE
+    quant_int8: bool = False           # W8A8 projections (ops/quant.py);
+    # lm_head stays fp32 (argmax sensitivity), like conv_in/out in the UNet
     dtype: Any = jnp.float32
 
     @property
@@ -129,9 +131,12 @@ class _Attention(nn.Module):
         b, s, _ = x.shape
         hd = cfg.head_dim
 
+        from diffusion_models_moe_tpu.models.attention import make_dense
+
         def proj(n_heads, name):
-            y = nn.Dense(n_heads * hd, use_bias=cfg.attention_bias,
-                         dtype=cfg.dtype, name=name)(x)
+            y = make_dense(n_heads * hd, use_bias=cfg.attention_bias,
+                           dtype=cfg.dtype, quant=cfg.quant_int8,
+                           name=name)(x)
             return y.reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
 
         q = apply_rope(proj(cfg.num_heads, "q_proj"), cos, sin)
@@ -162,8 +167,8 @@ class _Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_att)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * hd)
-        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
-                       name="o_proj")(out)
+        out = make_dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                         quant=cfg.quant_int8, name="o_proj")(out)
         return out, (k_all, v_all)
 
 
@@ -179,12 +184,12 @@ class _Block(nn.Module):
         x = x + att
         h = _RMSNorm(cfg.rms_eps, cfg.dtype,
                      name="post_attention_layernorm")(x)
-        g = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
-                     name="gate_proj")(h)
-        u = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
-                     name="up_proj")(h)
-        y = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
-                     name="down_proj")(jax.nn.silu(g) * u)
+        from diffusion_models_moe_tpu.models.attention import make_dense
+        dense = lambda n, name: make_dense(n, use_bias=False, dtype=cfg.dtype,
+                                           quant=cfg.quant_int8, name=name)
+        g = dense(cfg.intermediate_size, "gate_proj")(h)
+        u = dense(cfg.intermediate_size, "up_proj")(h)
+        y = dense(cfg.hidden_size, "down_proj")(jax.nn.silu(g) * u)
         return x + y, kv
 
 

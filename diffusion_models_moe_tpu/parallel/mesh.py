@@ -140,3 +140,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+
+
+# Megatron-style tensor parallel for the VLM judge LMs (models/llama.py —
+# Llama/Vicuna for LLaVA, Qwen2 for Qwen2-VL). Column-parallel q/k/v and
+# gate/up (heads / FF hidden over 'tp'), row-parallel o_proj/down_proj
+# (contraction over 'tp'; XLA inserts the psum), vocab-sharded lm_head
+# (argmax over a sharded axis is fine for greedy decode). Embedding table,
+# norms, and the small vision tower/projector replicate. Constraint:
+# num_kv_heads % tp == 0 (LLaVA-7/13B: 32/40; Qwen2-VL-7B: 4).
+_LLAMA_RULES = [
+    (r".*/self_attn/[qkv]_proj/kernel$", P(None, "tp")),
+    (r".*/self_attn/[qkv]_proj/bias$", P("tp",)),
+    (r".*/self_attn/o_proj/kernel$", P("tp", None)),
+    (r".*/(gate_proj|up_proj)/kernel$", P(None, "tp")),
+    (r".*/down_proj/kernel$", P("tp", None)),
+    (r".*/lm_head/kernel$", P(None, "tp")),
+]
+
+
+def llama_param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a models/llama.py param tree (the 'language'
+    subtree of a LLaVA/Qwen2-VL port, including the raw 'embed_tokens'
+    array) under `mesh`."""
+    def assign(kp, _):
+        path = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
+                        for k in kp)
+        for pat, spec in _LLAMA_RULES:
+            if re.match(pat, path):
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
