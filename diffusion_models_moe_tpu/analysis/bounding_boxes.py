@@ -8,8 +8,13 @@ is projected into each FF layer's latent token grid and becomes a boolean token 
 that restricts tap statistics (`LayerIntervention.token_mask`;
 reference: neuron_receivers/neuron_predictivity_bb.py:43-63).
 
-The grounding model itself is an injected callable (`ground(image, object) -> box`);
-the parsing + projection math is self-contained and tested.
+The grounding model runs natively: `benchmarks/vqa.py:load_qwen2vl_native`
+returns exactly the `ground(image, prompt) -> reply` callable this module
+consumes (Qwen2-VL emits 1000-normalized boxes like its predecessor; its
+`<|box_start|>` markers are special tokens the decoder strips, so `parse_box`
+also accepts the bare `(x1,y1),(x2,y2)` pair). Any injected callable with the
+same shape still plugs in; the parsing + projection math is self-contained and
+tested.
 """
 from __future__ import annotations
 
@@ -22,13 +27,16 @@ import numpy as np
 from diffusion_models_moe_tpu.taps import LayerIntervention
 
 _BOX_RE = re.compile(r"<box>\((\d+),(\d+)\),\((\d+),(\d+)\)</box>")
+_BARE_BOX_RE = re.compile(r"\((\d+),\s*(\d+)\)\s*,\s*\((\d+),\s*(\d+)\)")
 
 
 def parse_box(text: str, coord_scale: float = 0.5) -> Optional[tuple]:
     """Extract (x1, y1, x2, y2) from a grounding reply. The reference halves the
     model's 1000-normalized coordinates for its 512px images
-    (reference: bounding_boxes/bb_utils.py:24-35)."""
-    m = _BOX_RE.search(text)
+    (reference: bounding_boxes/bb_utils.py:24-35). Accepts Qwen-VL-Chat's
+    `<box>(..),(..)</box>` and the bare `(x1,y1),(x2,y2)` left after a
+    decoder strips Qwen2-VL's box marker tokens."""
+    m = _BOX_RE.search(text) or _BARE_BOX_RE.search(text)
     if not m:
         return None
     x1, y1, x2, y2 = (int(g) * coord_scale for g in m.groups())

@@ -16,6 +16,9 @@ def test_parse_box():
     assert parse_box("sure <box>(100,200),(300,400)</box> ok") == (50, 100,
                                                                    150, 200)
     assert parse_box("no box here") is None
+    # Qwen2-VL reply after the decoder strips the box marker special tokens
+    assert parse_box("the dog(100, 200),(300,400)") == (50, 100, 150, 200)
+    assert parse_box("lone pair (1,2) only") is None
 
 
 def test_layer_token_mask_projection():
