@@ -119,16 +119,14 @@ def letterbox(image: np.ndarray, size: int) -> tuple[np.ndarray, float,
     (NudeNet uses cv2's bilinear — judge-equivalent)."""
     from PIL import Image
 
-    img = np.asarray(image)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
-    if img.dtype != np.uint8:
-        img = np.clip(np.asarray(img, np.float32), 0, 255).astype(np.uint8)
+    from diffusion_models_moe_tpu.imaging import to_uint8_rgb
+
+    img = to_uint8_rgb(image)
     h, w = img.shape[:2]
     scale = size / max(h, w)
     new_w, new_h = max(1, round(w * scale)), max(1, round(h * scale))
     resized = np.asarray(
-        Image.fromarray(img[..., :3]).resize((new_w, new_h), Image.BILINEAR))
+        Image.fromarray(img).resize((new_w, new_h), Image.BILINEAR))
     pad_x = (size - new_w) // 2
     pad_y = (size - new_h) // 2
     canvas = np.zeros((size, size, 3), dtype=np.float32)

@@ -226,23 +226,23 @@ def load_llama_tokenizer(path: str):
     """Llama/Vicuna tokenizer for the native LLaVA judge (models/llava.py).
 
     Loads `tokenizer.json` (HF fast format; llava-hf snapshots ship it with
-    '<image>' registered as an added token) or converts `tokenizer.model`
-    (sentencepiece BPE) via the `tokenizers` library. Returns
-    (encode, decode): encode(text) -> 1D int32 ids with BOS prepended;
-    decode(ids) -> text with sentencepiece whitespace markers resolved."""
+    '<image>' registered as an added token). Returns (encode, decode):
+    encode(text) -> 1D int32 ids with BOS prepended; decode(ids) -> text
+    with sentencepiece whitespace markers resolved."""
     import numpy as np
 
     json_path = os.path.join(path, "tokenizer.json")
-    spm_path = os.path.join(path, "tokenizer.model")
-    if os.path.exists(json_path):
-        from tokenizers import Tokenizer
-        tok = Tokenizer.from_file(json_path)
-    elif os.path.exists(spm_path):
-        from tokenizers.implementations import SentencePieceBPETokenizer
-        tok = SentencePieceBPETokenizer.from_spm(spm_path)._tokenizer
-    else:
+    if not os.path.exists(json_path):
+        # tokenizer.model alone is sentencepiece BPE; converting it needs the
+        # sentencepiece runtime this environment lacks (the tokenizers
+        # library only converts unigram models). Every llava-hf snapshot
+        # ships tokenizer.json.
         raise FileNotFoundError(
-            f"no tokenizer.json or tokenizer.model under {path!r}")
+            f"no tokenizer.json under {path!r} (a raw tokenizer.model "
+            "cannot be converted here — re-save the tokenizer with "
+            "transformers to produce tokenizer.json)")
+    from tokenizers import Tokenizer
+    tok = Tokenizer.from_file(json_path)
     bos_id = tok.token_to_id("<s>")
 
     def encode(text: str) -> np.ndarray:

@@ -97,9 +97,11 @@ class CLIPVisionEncoder(nn.Module):
                          name="pre_layernorm")(x).astype(cfg.dtype)
         n_blocks = cfg.num_layers
         if feature_layer is not None:
-            n_blocks = (feature_layer + 1 if feature_layer >= 0
+            # HF hidden_states[f]: index 0 is the embeddings, index f>0 the
+            # output of block f-1 — so run f blocks for f >= 0
+            n_blocks = (feature_layer if feature_layer >= 0
                         else cfg.num_layers + feature_layer + 1)
-            if not 0 < n_blocks <= cfg.num_layers:
+            if not 0 <= n_blocks <= cfg.num_layers:
                 raise ValueError(f"feature_layer {feature_layer} out of range "
                                  f"for {cfg.num_layers} layers")
         for i in range(n_blocks):

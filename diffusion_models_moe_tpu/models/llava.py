@@ -60,12 +60,8 @@ def prompt_template(question: str) -> str:
     return f"USER: <image>\n{question} ASSISTANT:"
 
 
-def image_features(params: dict, cfg: LlavaConfig,
-                   images: jax.Array) -> jax.Array:
-    """(B, H, W, 3) in [0,1] -> projected image tokens (B, P, lm_width).
-
-    Penultimate-layer patch features, CLS dropped, then the mlp2x_gelu
-    projector (exact GELU, matching torch nn.GELU)."""
+@partial(jax.jit, static_argnums=(1,))
+def _image_features_jit(params, cfg, images):
     feats = CLIPVisionEncoder(cfg.vision).apply(
         {"params": params["vision"]}, images,
         feature_layer=cfg.vision_feature_layer)
@@ -76,6 +72,18 @@ def image_features(params: dict, cfg: LlavaConfig,
     h = jax.nn.gelu(h, approximate=False)
     h = h @ p["linear_2"]["kernel"] + p["linear_2"]["bias"]
     return h.astype(cfg.text.dtype)
+
+
+def image_features(params: dict, cfg: LlavaConfig,
+                   images: jax.Array) -> jax.Array:
+    """(B, H, W, 3) in [0,1] -> projected image tokens (B, P, lm_width).
+
+    Penultimate-layer patch features, CLS dropped, then the mlp2x_gelu
+    projector (exact GELU, matching torch nn.GELU). Jitted — the 24-layer
+    tower over 576 tokens runs once per judge call, twice per scored image."""
+    return _image_features_jit(
+        {"vision": params["vision"], "projector": params["projector"]},
+        cfg, images)
 
 
 def splice_image(params: dict, cfg: LlavaConfig, input_ids: np.ndarray,
@@ -96,19 +104,19 @@ def splice_image(params: dict, cfg: LlavaConfig, input_ids: np.ndarray,
 def preprocess_image(image, size: int) -> np.ndarray:
     """CLIP-style preprocessing to (size, size, 3) float32 in [0,1]: bicubic
     resize of the SHORT side then center crop (transformers CLIPImageProcessor
-    defaults, which llava-1.5 uses). Normalization happens inside the tower."""
+    defaults, which llava-1.5 uses; the long side is int-truncated like HF's
+    get_resize_output_image_size). Normalization happens inside the tower."""
     from PIL import Image
 
-    img = np.asarray(image)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
-    if img.dtype != np.uint8:
-        img = np.clip(np.asarray(img, np.float32), 0, 255).astype(np.uint8)
-    pil = Image.fromarray(img[..., :3])
+    from diffusion_models_moe_tpu.imaging import to_uint8_rgb
+
+    pil = Image.fromarray(to_uint8_rgb(image))
     w, h = pil.size
-    scale = size / min(w, h)
-    pil = pil.resize((max(size, round(w * scale)),
-                      max(size, round(h * scale))), Image.BICUBIC)
+    if w <= h:
+        new_w, new_h = size, int(size * h / w)
+    else:
+        new_w, new_h = int(size * w / h), size
+    pil = pil.resize((new_w, new_h), Image.BICUBIC)
     w, h = pil.size
     left, top = (w - size) // 2, (h - size) // 2
     pil = pil.crop((left, top, left + size, top + size))

@@ -127,15 +127,13 @@ def preprocess_image(image, cfg: Qwen2VisionConfig,
     (image_processing_qwen2_vl.py:270-297)."""
     from PIL import Image
 
-    img = np.asarray(image)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
-    if img.dtype != np.uint8:
-        img = np.clip(np.asarray(img, np.float32), 0, 255).astype(np.uint8)
+    from diffusion_models_moe_tpu.imaging import to_uint8_rgb
+
+    img = to_uint8_rgb(image)
     ih, iw = img.shape[:2]
     factor = cfg.patch_size * cfg.spatial_merge_size
     h, w = smart_resize(ih, iw, factor, min_pixels, max_pixels)
-    pil = Image.fromarray(img[..., :3]).resize((w, h), Image.BICUBIC)
+    pil = Image.fromarray(img).resize((w, h), Image.BICUBIC)
     x = np.asarray(pil, np.float32) / 255.0
     x = (x - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
     x = x.transpose(2, 0, 1)[None]                       # (1, C, H, W)
@@ -261,7 +259,8 @@ def rope_index(cfg: Qwen2VLConfig, ids: np.ndarray,
     w_idx = np.tile(np.arange(lw), t * lh)
     parts.append(np.stack([t_idx, h_idx, w_idx]) + st)
     tail = len(ids) - (st + t * lh * lw)
-    st_idx = max(p.max() for p in parts) + 1
+    # parts[0] is empty when the sequence opens with the image span
+    st_idx = max(int(p.max()) for p in parts if p.size) + 1
     parts.append(np.broadcast_to(np.arange(tail), (3, tail)) + st_idx)
     pos = np.concatenate(parts, axis=1)
     delta = int(pos.max()) + 1 - len(ids)
@@ -315,8 +314,9 @@ def generate(params: dict, cfg: Qwen2VLConfig, input_ids: np.ndarray,
         positions = np.pad(positions, ((0, 0), (0, 0),
                                        (0, target - length)))
     toks = _decode_jit(LlamaModel(cfg.text), max_new_tokens, cfg.eos_id,
-                       params["language"], embeds, jnp.asarray([length]),
-                       jnp.asarray(positions), jnp.asarray([delta]))
+                       cfg.pad_id, params["language"], embeds,
+                       jnp.asarray([length]), jnp.asarray(positions),
+                       jnp.asarray([delta]))
     return np.asarray(jax.device_get(toks))
 
 
@@ -329,12 +329,14 @@ def _vision_jit(cfg, grid):
     return lambda vp, x: _vision_jit_impl(cfg, grid, vp, x)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _decode_jit(model, max_new_tokens, eos_id, params, embeds, lengths,
-                positions, deltas):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _decode_jit(model, max_new_tokens, eos_id, pad_id, params, embeds,
+                lengths, positions, deltas):
+    # pad with THIS vocab's pad id (151643), not the default 0 ('!' here),
+    # so build_vqa's (pad, eos) filter really strips post-EOS slots
     return greedy_decode(model, params, embeds, lengths, max_new_tokens,
-                         eos_id=eos_id, prefill_positions=positions,
-                         pos_offset=deltas)
+                         eos_id=eos_id, pad_id=pad_id,
+                         prefill_positions=positions, pos_offset=deltas)
 
 
 def build_vqa(params: dict, cfg: Qwen2VLConfig, tokenize: Callable,

@@ -155,7 +155,7 @@ _LLAMA_RULES = [
     (r".*/self_attn/o_proj/kernel$", P("tp", None)),
     (r".*/(gate_proj|up_proj)/kernel$", P(None, "tp")),
     (r".*/down_proj/kernel$", P("tp", None)),
-    (r".*/lm_head/kernel$", P(None, "tp")),
+    (r"(.*/)?lm_head/kernel$", P(None, "tp")),  # top-level in the LM tree
 ]
 
 

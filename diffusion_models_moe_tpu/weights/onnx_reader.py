@@ -99,11 +99,8 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
             name = bytes(val).decode("utf-8")
         elif field == 9:
             raw = bytes(val)
-        elif field == 4:   # float_data
-            if wire == 2:
-                typed.append(np.frombuffer(bytes(val), dtype="<f4"))
-            else:
-                typed.append(np.frombuffer(bytes(val), dtype="<f4"))
+        elif field == 4:   # float_data (packed or single fixed32 element)
+            typed.append(np.frombuffer(bytes(val), dtype="<f4"))
         elif field in (5, 7):  # int32_data / int64_data (varint packed)
             vals = [v - (1 << 64) if v >= (1 << 63) else v
                     for v in _packed_varints(val, wire)]  # two's complement

@@ -111,7 +111,7 @@ def port_yolo_from_onnx(data: bytes | str, cfg: YoloConfig) -> dict:
     """NudeNet/ultralytics ONNX export -> param tree. Tries FQN initializer
     names first, then the structural graph-order fallback."""
     graph = read_onnx(data)
-    by_name = {k: v for k, v in graph.initializers.items()}
+    by_name = graph.initializers
     fq = "model.0.conv.weight"
     if fq in by_name or "0.conv.weight" in by_name:
         prefix = "model." if fq in by_name else ""

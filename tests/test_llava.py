@@ -287,3 +287,57 @@ def test_llama_int8_decode_smoke(llama_pair):
                                  max_new_tokens=5, eos_id=-1))
     np.testing.assert_array_equal(a, b)
     assert a.shape == (1, 5) and (a >= 0).all() and (a < VOCAB).all()
+
+
+def test_lm_head_sharding_rule_matches_top_level_path():
+    """Review-caught: 'lm_head/kernel' is a TOP-level path in the LM tree;
+    the tp rule must match it (it silently replicated 2.2GB before)."""
+    from jax.sharding import PartitionSpec as P
+
+    from diffusion_models_moe_tpu.parallel.mesh import (create_mesh,
+                                                        llama_param_shardings)
+    mesh = create_mesh(8, dp=4, tp=2)
+    tree = {"lm_head": {"kernel": np.zeros((4, 8), np.float32)},
+            "embed_tokens": np.zeros((8, 4), np.float32)}
+    sh = llama_param_shardings(tree, mesh)
+    assert sh["lm_head"]["kernel"].spec == P(None, "tp")
+    assert sh["embed_tokens"].spec == P()
+
+
+def test_vision_feature_layer_nonneg_matches_hf_hidden_states(llava_pair):
+    """feature_layer=k (k>=0) must equal HF hidden_states[k] (k blocks run)."""
+    from diffusion_models_moe_tpu.models.clip_vision import (
+        CLIP_IMAGE_MEAN, CLIP_IMAGE_STD, CLIPVisionEncoder)
+    hf, cfg, params = llava_pair
+    rng = np.random.default_rng(23)
+    img = rng.random((1, 32, 32, 3), np.float32)
+    chw = (img - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
+    chw = torch.from_numpy(chw.transpose(0, 3, 1, 2)).float()
+    tower = hf.model.vision_tower if hasattr(hf.model, "vision_tower") \
+        else hf.vision_tower
+    with torch.no_grad():
+        hs = tower(chw, output_hidden_states=True).hidden_states
+    enc = CLIPVisionEncoder(cfg.vision)
+    for k in (0, 1, 2):
+        ours = enc.apply({"params": params["vision"]}, jnp.asarray(img),
+                         feature_layer=k)
+        np.testing.assert_allclose(np.asarray(ours), hs[k].numpy(),
+                                   atol=2e-4, rtol=1e-3,
+                                   err_msg=f"feature_layer={k}")
+
+
+def test_preprocess_nonsquare_matches_hf_clip_processor():
+    """Review-caught: long-side rounding must int-truncate like HF."""
+    from transformers import CLIPImageProcessor
+
+    from diffusion_models_moe_tpu.models.llava import preprocess_image
+    proc = CLIPImageProcessor(size={"shortest_edge": 32},
+                              crop_size={"height": 32, "width": 32},
+                              do_normalize=False, do_convert_rgb=True)
+    rng = np.random.default_rng(24)
+    for shape in ((33, 50), (50, 33), (41, 37)):
+        img = (rng.random(shape + (3,)) * 255).astype(np.uint8)
+        ref = proc(images=[img], return_tensors="np")["pixel_values"][0]
+        ours = preprocess_image(img, 32).transpose(2, 0, 1)
+        np.testing.assert_allclose(ours, ref, atol=2e-2,
+                                   err_msg=str(shape))

@@ -163,3 +163,34 @@ def test_build_vqa_end_to_end(pair):
         np.uint8)
     out = vqa(img, "Is there a cat?")
     assert isinstance(out, str) and len(out.split()) <= 3
+
+
+def test_generate_pads_with_vocab_pad_id(pair):
+    """Post-EOS slots carry cfg.pad_id (151643-analogue), not token 0 — the
+    review-caught leak where '!' (id 0) survived build_vqa's filter."""
+    import dataclasses
+
+    _, cfg, params = pair
+    patches, grid = _patches(cfg, h=16, w=16, seed=18)
+    n_img = patches.shape[0] // 4
+    ids = np.concatenate([[5], [121], [120] * n_img, [122], [9]])
+    free = generate(params, cfg, ids, patches, grid, max_new_tokens=4)[0]
+    eos_forced = dataclasses.replace(cfg, eos_id=int(free[1]), pad_id=99)
+    toks = generate(params, eos_forced, ids, patches, grid,
+                    max_new_tokens=4)[0]
+    assert toks[1] == eos_forced.eos_id
+    assert all(t == 99 for t in toks[2:])
+
+
+def test_rope_index_image_first(pair):
+    """Sequence opening directly with the image span (no text prefix)."""
+    _, cfg, _ = pair
+    grid = (1, 4, 4)
+    ids = np.concatenate([[120] * 4, [9, 11]])
+    pos, delta = rope_index(cfg, ids, grid)
+    assert pos.shape == (3, 1, 6)
+    # image block at origin: t/h/w grids start at 0; text continues from max+1
+    np.testing.assert_array_equal(pos[:, 0, 0], [0, 0, 0])
+    assert pos[:, 0, 4].max() == 2  # max grid pos 1 -> text starts at 2
+    np.testing.assert_array_equal(pos[:, 0, 4], [2, 2, 2])
+    assert delta == int(pos.max()) + 1 - 6
