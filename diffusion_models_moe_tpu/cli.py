@@ -587,9 +587,16 @@ def cmd_vqa(args):
         MultipleChoiceScorer, load_llava_native, load_qwen2vl_native,
         load_transformers_vqa)
 
-    vqa = {"native": load_llava_native,
-           "qwen": load_qwen2vl_native,
-           "transformers": load_transformers_vqa}[args.judge_kind](args.judge)
+    if args.judge_kind == "transformers":
+        vqa = load_transformers_vqa(args.judge)
+    else:
+        loader = (load_qwen2vl_native if args.judge_kind == "qwen"
+                  else load_llava_native)
+        mesh = None
+        if args.tp > 1:
+            from diffusion_models_moe_tpu.parallel.mesh import create_mesh
+            mesh = create_mesh(tp=args.tp)
+        vqa = loader(args.judge, mesh=mesh, quant_int8=args.int8)
     objects = [o.strip() for o in args.objects.split(",")]
 
     def load_dir(d):
@@ -1054,6 +1061,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="expected 1-based option before removal "
                          "(2 = concept present)")
     sp.add_argument("--label-after", type=int, default=1)
+    sp.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel the judge LM over this many chips "
+                         "(13B needs tp on v5e)")
+    sp.add_argument("--int8", action="store_true",
+                    help="W8A8 judge LM projections")
     sp.add_argument("--out", default=None)
     sp.add_argument("--cpu", action="store_true")
     sp.set_defaults(fn=cmd_vqa)

@@ -298,7 +298,7 @@ def test_cli_vqa(tmp_path, monkeypatch, capsys):
 
     monkeypatch.setattr(
         "diffusion_models_moe_tpu.benchmarks.vqa.load_llava_native",
-        lambda path: fake_judge)
+        lambda path, **kw: fake_judge)
     out = tmp_path / "res.json"
     main(["vqa", "--cpu", "--judge", "unused", "--before-dir",
           str(tmp_path / "before"), "--after-dir", str(tmp_path / "after"),
