@@ -83,6 +83,23 @@ def boxes_to_interventions(box: tuple, seq_lens: Sequence[int],
     return tuple(ivs)
 
 
+def make_chat_grounder(vqa: Callable,
+                       warmup: str = "what is this?") -> Callable:
+    """Reproduce the reference's two-turn grounding chat
+    (bounding_boxes/qwen_bb.py:33-44: 'what is this?' with history, then the
+    framing request). `vqa` is a native judge from benchmarks/vqa.py — its
+    `.chat` attribute runs multi-turn; a plain single-turn callable is used
+    as-is."""
+    chat = getattr(vqa, "chat", None)
+    if chat is None:
+        return vqa
+
+    def ground(image, prompt: str) -> str:
+        return chat(image, [warmup, prompt])[-1]
+
+    return ground
+
+
 def make_grounded_masks(ground: Callable[[object, str], str], image,
                         object_name: str, seq_lens: Sequence[int],
                         image_size: int = 512,

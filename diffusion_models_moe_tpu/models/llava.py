@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -54,10 +54,18 @@ def tiny_llava_config() -> LlavaConfig:
                        image_token_id=120, eos_id=2)
 
 
-def prompt_template(question: str) -> str:
+def prompt_template(question: str, history: Sequence = ()) -> str:
     """llava-1.5's conversation format (vicuna_v1 in the reference's serving
-    stack; '<image>' is the placeholder the processor expands)."""
-    return f"USER: <image>\n{question} ASSISTANT:"
+    stack; '<image>' is the placeholder the processor expands). `history` is
+    prior (question, answer) pairs — the image appears only in the first
+    user turn, answers close with </s> (the vicuna separator)."""
+    if not history:
+        return f"USER: <image>\n{question} ASSISTANT:"
+    (q0, a0), rest = history[0], history[1:]
+    text = f"USER: <image>\n{q0} ASSISTANT: {a0}</s>"
+    for q, a in rest:
+        text += f"USER: {q} ASSISTANT: {a}</s>"
+    return text + f"USER: {question} ASSISTANT:"
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -155,8 +163,8 @@ def build_vqa(params: dict, cfg: LlavaConfig, tokenize: Callable,
     tokenize(text) -> 1D int ids WITH the image placeholder id and BOS;
     detokenize(ids) -> text (EOS/pads stripped by the caller contract here).
     Prompt lengths are rounded up to `pad_multiple` to bound recompiles."""
-    def vqa(image, question: str) -> str:
-        ids = np.asarray(tokenize(prompt_template(question)))
+    def ask(image, question: str, history: Sequence = ()) -> str:
+        ids = np.asarray(tokenize(prompt_template(question, history)))
         img = preprocess_image(image, cfg.vision.image_size)
         n = len(ids) - 1 + cfg.num_image_tokens
         pad_to = -(-n // pad_multiple) * pad_multiple
@@ -165,4 +173,16 @@ def build_vqa(params: dict, cfg: LlavaConfig, tokenize: Callable,
         keep = [int(t) for t in toks if int(t) not in (0, cfg.eos_id)]
         return detokenize(keep)
 
+    def vqa(image, question: str) -> str:
+        return ask(image, question)
+
+    def chat(image, questions: Sequence[str]) -> list:
+        """Multi-turn: each question sees the prior Q/A turns (the reference's
+        qwen_score.py / qwen_bb.py chat-with-history protocol)."""
+        history: list = []
+        for q in questions:
+            history.append((q, ask(image, q, history)))
+        return [a for _, a in history]
+
+    vqa.chat = chat  # type: ignore[attr-defined]
     return vqa

@@ -28,7 +28,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -270,18 +270,23 @@ def rope_index(cfg: Qwen2VLConfig, ids: np.ndarray,
 # ---------------------------------------------------------------- front door
 
 def prompt_ids(tokenize: Callable, question: str, n_image_tokens: int,
-               cfg: Qwen2VLConfig) -> np.ndarray:
+               cfg: Qwen2VLConfig, history: Sequence = ()) -> np.ndarray:
     """Qwen2-VL chat-format ids with the image pad expanded.
 
     tokenize(text) -> ids WITHOUT the vision tokens; this builds
     system + user turns and splices <|vision_start|> <pad>*n <|vision_end|>
     (the processor's expansion; vision_end = start id + 1 by convention of
-    the published vocab)."""
+    the published vocab). `history` is prior (question, answer) pairs — the
+    image rides only the first user turn, per the HF chat template."""
     sys_part = np.asarray(tokenize(
         "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
         "<|im_start|>user\n"), np.int64)
+    turns = ""
+    for q, a in history:
+        turns += (f"{q}<|im_end|>\n<|im_start|>assistant\n"
+                  f"{a}<|im_end|>\n<|im_start|>user\n")
     tail = np.asarray(tokenize(
-        f"{question}<|im_end|>\n<|im_start|>assistant\n"), np.int64)
+        f"{turns}{question}<|im_end|>\n<|im_start|>assistant\n"), np.int64)
     vis = np.concatenate([[cfg.vision_start_token_id],
                           [cfg.image_token_id] * n_image_tokens,
                           [cfg.vision_start_token_id + 1]])
@@ -348,12 +353,12 @@ def build_vqa(params: dict, cfg: Qwen2VLConfig, tokenize: Callable,
     tokenize(text) -> 1D ids (plain text, incl. the <|im_start|> special
     strings — the HF tokenizer.json handles them); detokenize(ids) -> text.
     `max_pixels` bounds the vision sequence (default 576 merged tokens)."""
-    def vqa(image, question: str) -> str:
+    def ask(image, question: str, history: Sequence = ()) -> str:
         patches, grid = preprocess_image(image, cfg.vision,
                                          max_pixels=max_pixels)
         m2 = cfg.vision.spatial_merge_size ** 2
         n_img = patches.shape[0] // m2
-        ids = prompt_ids(tokenize, question, n_img, cfg)
+        ids = prompt_ids(tokenize, question, n_img, cfg, history)
         pad_to = -(-len(ids) // pad_multiple) * pad_multiple
         toks = generate(params, cfg, ids, patches, grid,
                         max_new_tokens=max_new_tokens, pad_to=pad_to)[0]
@@ -361,4 +366,16 @@ def build_vqa(params: dict, cfg: Qwen2VLConfig, tokenize: Callable,
                 if int(t) not in (cfg.pad_id, cfg.eos_id)]
         return detokenize(keep)
 
+    def vqa(image, question: str) -> str:
+        return ask(image, question)
+
+    def chat(image, questions: Sequence[str]) -> list:
+        """Multi-turn chat-with-history (the reference's qwen_score.py and
+        qwen_bb.py warm up with 'what is this?' before the real question)."""
+        history: list = []
+        for q in questions:
+            history.append((q, ask(image, q, history)))
+        return [a for _, a in history]
+
+    vqa.chat = chat  # type: ignore[attr-defined]
     return vqa

@@ -341,3 +341,48 @@ def test_preprocess_nonsquare_matches_hf_clip_processor():
         ours = preprocess_image(img, 32).transpose(2, 0, 1)
         np.testing.assert_allclose(ours, ref, atol=2e-2,
                                    err_msg=str(shape))
+
+
+def test_llava_chat_threads_history(llava_pair):
+    """Multi-turn chat: turn 2's prompt carries turn 1's Q and A in the
+    vicuna format, image only in the first user turn."""
+    _, cfg, params = llava_pair
+    prompts = []
+
+    def tokenize(text):
+        prompts.append(text)
+        ids = [1]
+        for tok in text.replace("<image>", " \x00 ").split():
+            ids.append(120 if tok == "\x00" else 3 + (abs(hash(tok)) % 118))
+        return np.asarray(ids)
+
+    detok = lambda ids: "ans" + str(len(ids))
+    vqa = build_vqa(params, cfg, tokenize, detok, max_new_tokens=2,
+                    pad_multiple=16)
+    img = (np.random.default_rng(25).random((24, 24, 3)) * 255).astype(
+        np.uint8)
+    a1, a2 = vqa.chat(img, ["what is this?", "Frame the location of the cat"])
+    assert prompts[0] == "USER: <image>\nwhat is this? ASSISTANT:"
+    assert prompts[1] == (f"USER: <image>\nwhat is this? ASSISTANT: {a1}</s>"
+                          "USER: Frame the location of the cat ASSISTANT:")
+    assert prompts[1].count("<image>") == 1
+    assert isinstance(a2, str)
+
+
+def test_make_chat_grounder_uses_second_turn():
+    from diffusion_models_moe_tpu.analysis.bounding_boxes import (
+        make_chat_grounder, parse_box)
+    calls = []
+
+    def fake_vqa(image, question):
+        raise AssertionError("single-turn path should not run")
+
+    def fake_chat(image, questions):
+        calls.append(list(questions))
+        return ["it is a dog", "(100,200),(300,400)"]
+
+    fake_vqa.chat = fake_chat
+    ground = make_chat_grounder(fake_vqa)
+    reply = ground("img", "Frame the location of the dog")
+    assert parse_box(reply) == (50, 100, 150, 200)
+    assert calls == [["what is this?", "Frame the location of the dog"]]

@@ -194,3 +194,26 @@ def test_rope_index_image_first(pair):
     assert pos[:, 0, 4].max() == 2  # max grid pos 1 -> text starts at 2
     np.testing.assert_array_equal(pos[:, 0, 4], [2, 2, 2])
     assert delta == int(pos.max()) + 1 - 6
+
+
+def test_qwen_chat_threads_history(pair):
+    """Turn 2's tail text carries turn 1's Q/A in the chat-template format."""
+    _, cfg, params = pair
+    texts = []
+
+    def tokenize(text):
+        texts.append(text)
+        return np.asarray([3 + (abs(hash(t)) % 100)
+                           for t in text.split()], np.int64)
+
+    detok = lambda ids: "ans" + str(len(ids))
+    vqa = build_vqa(params, cfg, tokenize, detok, max_new_tokens=2,
+                    pad_multiple=16, max_pixels=16 * 16)
+    img = (np.random.default_rng(26).random((20, 20, 3)) * 255).astype(
+        np.uint8)
+    a1, a2 = vqa.chat(img, ["what is this?", "Is this a painting? yes or no"])
+    tails = [t for t in texts if not t.startswith("<|im_start|>system")]
+    assert tails[0].startswith("what is this?<|im_end|>")
+    assert (f"what is this?<|im_end|>\n<|im_start|>assistant\n{a1}<|im_end|>"
+            in tails[1])
+    assert tails[1].endswith("<|im_start|>assistant\n")
