@@ -97,15 +97,20 @@ def image_features(params: dict, cfg: LlavaConfig,
 def splice_image(params: dict, cfg: LlavaConfig, input_ids: np.ndarray,
                  img_feats: jax.Array) -> tuple[jax.Array, int]:
     """Replace the single image-token position in `input_ids` (1D) with the
-    image feature span; returns (embeds (1, L, D), length L)."""
+    image feature span; returns (embeds (B, L, D), length L) for (B, P, D)
+    features — the shared text embeds broadcast over the batch."""
     ids = np.asarray(input_ids).reshape(-1)
     where = np.nonzero(ids == cfg.image_token_id)[0]
     if len(where) != 1:
         raise ValueError(f"expected exactly one image token, got {len(where)}")
     i = int(where[0])
+    b = img_feats.shape[0]
     pre = embed_tokens(params["language"], jnp.asarray(ids[:i])[None])
     post = embed_tokens(params["language"], jnp.asarray(ids[i + 1:])[None])
-    embeds = jnp.concatenate([pre, img_feats, post], axis=1)
+    embeds = jnp.concatenate([jnp.broadcast_to(pre, (b,) + pre.shape[1:]),
+                              img_feats,
+                              jnp.broadcast_to(post, (b,) + post.shape[1:])],
+                             axis=1)
     return embeds, embeds.shape[1]
 
 
@@ -134,9 +139,11 @@ def preprocess_image(image, size: int) -> np.ndarray:
 def generate(params: dict, cfg: LlavaConfig, input_ids: np.ndarray,
              images: jax.Array, max_new_tokens: int = 32,
              pad_to: Optional[int] = None) -> np.ndarray:
-    """input_ids (1D with one image token) + images (1, H, W, 3) ->
-    generated token ids (1, T). `pad_to` rounds the spliced prompt length up
-    so repeated questions of similar size reuse one compiled executable."""
+    """input_ids (1D with one image token) + images (B, H, W, 3) ->
+    generated token ids (B, T) — every image answers the SAME prompt
+    (co-batched samples decode exactly as they would alone, see
+    models/llama.py). `pad_to` rounds the spliced prompt length up so
+    repeated questions of similar size reuse one compiled executable."""
     feats = image_features(params, cfg, images)
     embeds, length = splice_image(params, cfg, input_ids, feats)
     target = pad_to or length
@@ -144,8 +151,10 @@ def generate(params: dict, cfg: LlavaConfig, input_ids: np.ndarray,
         raise ValueError(f"pad_to {target} < prompt length {length}")
     if target > length:
         embeds = jnp.pad(embeds, ((0, 0), (0, target - length), (0, 0)))
+    b = embeds.shape[0]
     toks = _decode_jit(LlamaModel(cfg.text), max_new_tokens, cfg.eos_id,
-                       params["language"], embeds, jnp.asarray([length]))
+                       params["language"], embeds,
+                       jnp.full((b,), length, jnp.int32))
     return np.asarray(jax.device_get(toks))
 
 
@@ -176,6 +185,30 @@ def build_vqa(params: dict, cfg: LlavaConfig, tokenize: Callable,
     def vqa(image, question: str) -> str:
         return ask(image, question)
 
+    def batch(images: Sequence, question: str,
+              batch_size: int = 8) -> list:
+        """Score many images on the SAME question in fixed-size decode
+        batches (one compiled executable; right-padded co-batching is
+        sample-exact). The big win on protocol runs, where the judge asks
+        one question of hundreds of images."""
+        ids = np.asarray(tokenize(prompt_template(question)))
+        n = len(ids) - 1 + cfg.num_image_tokens
+        pad_to = -(-n // pad_multiple) * pad_multiple
+        out = []
+        for start in range(0, len(images), batch_size):
+            chunk = [preprocess_image(img, cfg.vision.image_size)
+                     for img in images[start:start + batch_size]]
+            real = len(chunk)
+            while len(chunk) < batch_size:  # fixed-shape executable
+                chunk.append(np.zeros_like(chunk[0]))
+            toks = generate(params, cfg, ids, jnp.asarray(np.stack(chunk)),
+                            max_new_tokens=max_new_tokens, pad_to=pad_to)
+            for row in toks[:real]:
+                keep = [int(t) for t in row
+                        if int(t) not in (0, cfg.eos_id)]
+                out.append(detokenize(keep))
+        return out
+
     def chat(image, questions: Sequence[str]) -> list:
         """Multi-turn: each question sees the prior Q/A turns (the reference's
         qwen_score.py / qwen_bb.py chat-with-history protocol)."""
@@ -184,5 +217,6 @@ def build_vqa(params: dict, cfg: LlavaConfig, tokenize: Callable,
             history.append((q, ask(image, q, history)))
         return [a for _, a in history]
 
-    vqa.chat = chat  # type: ignore[attr-defined]
+    vqa.chat = chat    # type: ignore[attr-defined]
+    vqa.batch = batch  # type: ignore[attr-defined]
     return vqa

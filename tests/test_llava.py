@@ -386,3 +386,43 @@ def test_make_chat_grounder_uses_second_turn():
     reply = ground("img", "Frame the location of the dog")
     assert parse_box(reply) == (50, 100, 150, 200)
     assert calls == [["what is this?", "Frame the location of the dog"]]
+
+
+def test_llava_batch_matches_per_image(llava_pair):
+    """vqa.batch answers (incl. a ragged final chunk padded with blank
+    images) must equal per-image vqa answers exactly."""
+    _, cfg, params = llava_pair
+
+    def tokenize(text):
+        ids = [1]
+        for tok in text.replace("<image>", " \x00 ").split():
+            ids.append(120 if tok == "\x00" else 3 + (abs(hash(tok)) % 118))
+        return np.asarray(ids)
+
+    detok = lambda ids: " ".join(f"t{t}" for t in ids)
+    vqa = build_vqa(params, cfg, tokenize, detok, max_new_tokens=3,
+                    pad_multiple=16)
+    rng = np.random.default_rng(27)
+    images = [(rng.random((20 + 3 * i, 24, 3)) * 255).astype(np.uint8)
+              for i in range(3)]
+    solo = [vqa(img, "Is there a dog?") for img in images]
+    batched = vqa.batch(images, "Is there a dog?", batch_size=2)
+    assert batched == solo
+
+
+def test_vqa_presence_score_uses_batch(llava_pair):
+    from diffusion_models_moe_tpu.benchmarks.vqa import vqa_presence_score
+    calls = {"batch": 0, "single": 0}
+
+    def single(img, q):
+        calls["single"] += 1
+        return "yes"
+
+    def fake_batch(images, q, **kw):
+        calls["batch"] += 1
+        return ["yes", "no", "maybe"]
+
+    single.batch = fake_batch
+    out = vqa_presence_score(single, [1, 2, 3], "q?")
+    assert calls == {"batch": 1, "single": 0}
+    assert out == {"yes_frac": 0.5, "n": 2, "unparsed": 1}
