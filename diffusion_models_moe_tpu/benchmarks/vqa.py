@@ -247,27 +247,22 @@ class MultipleChoiceScorer:
     def _side(self, before: bool) -> dict:
         return self.results["before_removal" if before else "after_removal"]
 
-    def object_score(self, image, idx: int, before: bool = True) -> int:
-        gt = self.objects[idx]
-        ans = parse_choice_index(self.vqa(image, self.obj_question),
-                                 len(self.objects))
+    def _record_object(self, answer: str, idx: int, before: bool) -> int:
+        ans = parse_choice_index(answer, len(self.objects))
         side = self._side(before)
         if ans is None:
             side["unparsed"] += 1
             return 0
         pred = self.objects[ans]
-        score = int(pred == gt)
+        score = int(pred == self.objects[idx])
         side["object_score"].append(score)
         if not score:
-            side["object_failures"].append((pred, gt))
+            side["object_failures"].append((pred, self.objects[idx]))
         return score
 
-    def style_score(self, image, idx: int, label: int,
-                    before: bool = True) -> int:
-        """label: expected 1-based option (2 = concept present, 1 = absent;
-        style path: 2 = in-style)."""
-        q = self.style_template.replace("<object>", self.objects[idx])
-        ans = parse_choice_index(self.vqa(image, q), 2)
+    def _record_style(self, answer: str, idx: int, label: int,
+                      before: bool) -> int:
+        ans = parse_choice_index(answer, 2)
         side = self._side(before)
         if ans is None:
             side["unparsed"] += 1
@@ -277,6 +272,41 @@ class MultipleChoiceScorer:
         if not score:
             side["style_failures"].append((self.objects[idx], ans + 1))
         return score
+
+    def object_score(self, image, idx: int, before: bool = True) -> int:
+        return self._record_object(self.vqa(image, self.obj_question), idx,
+                                   before)
+
+    def style_score(self, image, idx: int, label: int,
+                    before: bool = True) -> int:
+        """label: expected 1-based option (2 = concept present, 1 = absent;
+        style path: 2 = in-style)."""
+        q = self.style_template.replace("<object>", self.objects[idx])
+        return self._record_style(self.vqa(image, q), idx, label, before)
+
+    def score_images(self, images: Sequence, label: int,
+                     before: bool = True) -> None:
+        """Score one side's full image list (image i's ground truth is
+        objects[i]). With a `.batch`-capable judge the shared object
+        question is answered in one co-batched pass and the per-object
+        style questions in one pass per distinct question text; scores and
+        counts match the per-image methods exactly (style failure-list
+        order may differ — grouped by question, not image index)."""
+        batch = getattr(self.vqa, "batch", None)
+        if batch is None:
+            for i, img in enumerate(images):
+                self.object_score(img, i, before=before)
+                self.style_score(img, i, label, before=before)
+            return
+        for i, ans in enumerate(batch(images, self.obj_question)):
+            self._record_object(ans, i, before)
+        by_q: dict = {}
+        for i in range(len(images)):
+            q = self.style_template.replace("<object>", self.objects[i])
+            by_q.setdefault(q, []).append(i)
+        for q, idxs in by_q.items():
+            for i, ans in zip(idxs, batch([images[i] for i in idxs], q)):
+                self._record_style(ans, i, label, before)
 
     def get_results(self) -> dict:
         out = {}

@@ -613,9 +613,8 @@ def cmd_vqa(args):
                              (False, args.after_dir, args.label_after)):
         if d is None:
             continue
-        for i, img in enumerate(load_dir(d)):
-            scorer.object_score(img, i, before=before)
-            scorer.style_score(img, i, label, before=before)
+        # batched decode when the judge supports it (native LLaVA/Qwen)
+        scorer.score_images(load_dir(d), label, before=before)
     results = scorer.get_results()
     if args.out:
         with open(args.out, "w") as f:

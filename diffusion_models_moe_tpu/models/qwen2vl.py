@@ -298,17 +298,28 @@ def generate(params: dict, cfg: Qwen2VLConfig, input_ids: np.ndarray,
              max_new_tokens: int = 32,
              pad_to: Optional[int] = None) -> np.ndarray:
     """input_ids (1D, image token expanded) + preprocessed patches ->
-    generated ids (1, T). Static (grid, padded-length) pairs compile once."""
-    feats = _vision_jit(cfg.vision, tuple(grid))(params["vision"],
-                                                 jnp.asarray(patches))
+    generated ids (B, T). Static (grid, padded-length) pairs compile once.
+
+    `patches` is (n_patches, patch_dim) for one image or (B, n_patches,
+    patch_dim) for a co-batch of same-grid images all answering the SAME
+    prompt (the M-RoPE positions depend only on (ids, grid), so every sample
+    shares them; right-padded co-batching decodes exactly as solo — see
+    models/llama.py greedy_decode)."""
+    patches = np.asarray(patches)
+    pb = patches if patches.ndim == 3 else patches[None]
+    vfn = _vision_jit(cfg.vision, tuple(grid))
+    # one compiled vision executable, applied per sample (the decode scan is
+    # the expensive part worth co-batching; vision is one prefill-sized pass)
+    feats = jnp.stack([vfn(params["vision"], jnp.asarray(p)) for p in pb])
     ids = np.asarray(input_ids).reshape(-1)
     img = np.nonzero(ids == cfg.image_token_id)[0]
-    if len(img) != feats.shape[0]:
-        raise ValueError(f"{len(img)} image tokens != {feats.shape[0]} "
+    if len(img) != feats.shape[1]:
+        raise ValueError(f"{len(img)} image tokens != {feats.shape[1]} "
                          "vision features")
+    b = feats.shape[0]
     embeds = embed_tokens(params["language"], jnp.asarray(ids))
-    embeds = embeds.at[jnp.asarray(img)].set(
-        feats.astype(embeds.dtype))[None]
+    embeds = jnp.broadcast_to(embeds, (b,) + embeds.shape)
+    embeds = embeds.at[:, jnp.asarray(img)].set(feats.astype(embeds.dtype))
     positions, delta = rope_index(cfg, ids, grid)
     length = len(ids)
     target = pad_to or length
@@ -318,10 +329,12 @@ def generate(params: dict, cfg: Qwen2VLConfig, input_ids: np.ndarray,
         embeds = jnp.pad(embeds, ((0, 0), (0, target - length), (0, 0)))
         positions = np.pad(positions, ((0, 0), (0, 0),
                                        (0, target - length)))
+    positions = np.broadcast_to(positions, (3, b, positions.shape[-1]))
     toks = _decode_jit(LlamaModel(cfg.text), max_new_tokens, cfg.eos_id,
                        cfg.pad_id, params["language"], embeds,
-                       jnp.asarray([length]), jnp.asarray(positions),
-                       jnp.asarray([delta]))
+                       jnp.full((b,), length, jnp.int32),
+                       jnp.asarray(positions),
+                       jnp.full((b,), delta, jnp.int32))
     return np.asarray(jax.device_get(toks))
 
 
@@ -369,6 +382,37 @@ def build_vqa(params: dict, cfg: Qwen2VLConfig, tokenize: Callable,
     def vqa(image, question: str) -> str:
         return ask(image, question)
 
+    def batch(images: Sequence, question: str,
+              batch_size: int = 8) -> list:
+        """Score many images on the SAME question in fixed-size decode
+        batches. Images are grouped by smart-resize grid (protocol runs
+        score same-size generations, so typically one group); within a
+        group every sample shares ids/positions and right-padded
+        co-batching is sample-exact. Answers return in input order."""
+        pre = [preprocess_image(img, cfg.vision, max_pixels=max_pixels)
+               for img in images]
+        groups: dict = {}
+        for i, (_, grid) in enumerate(pre):
+            groups.setdefault(tuple(grid), []).append(i)
+        out: list = [None] * len(pre)
+        m2 = cfg.vision.spatial_merge_size ** 2
+        for grid, idxs in groups.items():
+            n_img = pre[idxs[0]][0].shape[0] // m2
+            ids = prompt_ids(tokenize, question, n_img, cfg)
+            pad_to = -(-len(ids) // pad_multiple) * pad_multiple
+            for start in range(0, len(idxs), batch_size):
+                chunk = idxs[start:start + batch_size]
+                plist = [pre[i][0] for i in chunk]
+                while len(plist) < batch_size:  # fixed-shape executable
+                    plist.append(np.zeros_like(plist[0]))
+                toks = generate(params, cfg, ids, np.stack(plist), grid,
+                                max_new_tokens=max_new_tokens, pad_to=pad_to)
+                for j, i in enumerate(chunk):
+                    keep = [int(t) for t in toks[j]
+                            if int(t) not in (cfg.pad_id, cfg.eos_id)]
+                    out[i] = detokenize(keep)
+        return out
+
     def chat(image, questions: Sequence[str]) -> list:
         """Multi-turn chat-with-history (the reference's qwen_score.py and
         qwen_bb.py warm up with 'what is this?' before the real question)."""
@@ -377,5 +421,6 @@ def build_vqa(params: dict, cfg: Qwen2VLConfig, tokenize: Callable,
             history.append((q, ask(image, q, history)))
         return [a for _, a in history]
 
-    vqa.chat = chat  # type: ignore[attr-defined]
+    vqa.chat = chat    # type: ignore[attr-defined]
+    vqa.batch = batch  # type: ignore[attr-defined]
     return vqa

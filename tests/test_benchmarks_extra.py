@@ -306,3 +306,71 @@ def test_run_eval_with_sld_baseline_generate_fn(tmp_path):
     with _pytest.raises(ValueError):
         gen(params, tokenize(["x"]), tokenize([""]), jax.random.PRNGKey(0),
             ivs=object())
+
+
+def test_vqa_score_images_batch_matches_per_image():
+    """score_images with a .batch judge gives the same results dict as the
+    per-image loop (style questions grouped by text; 'under a tree'
+    substitutes <object> per prompt so each image gets its own group)."""
+    from diffusion_models_moe_tpu.benchmarks.vqa import MultipleChoiceScorer
+
+    objects = ["cat", "dog", "church"]
+
+    def answer(image, question):
+        if "main object" in question:
+            return str(objects.index(image["gt"]) + 1)
+        # 'under a tree' numeric question: image says whether it is
+        return "2" if image["tree"] else "1"
+
+    def solo_judge(image, question):
+        return answer(image, question)
+
+    calls = {"batch": 0, "single": 0}
+
+    def batch_judge(image, question):
+        calls["single"] += 1
+        return answer(image, question)
+
+    def batch_fn(images, question, **kw):
+        calls["batch"] += 1
+        return [answer(img, question) for img in images]
+
+    batch_judge.batch = batch_fn
+
+    images = [{"gt": "cat", "tree": True}, {"gt": "dog", "tree": False},
+              {"gt": "church", "tree": True}]
+    ref = MultipleChoiceScorer(solo_judge, objects, "under a tree")
+    for i, img in enumerate(images):
+        ref.object_score(img, i, before=True)
+        ref.style_score(img, i, label=2, before=True)
+
+    sc = MultipleChoiceScorer(batch_judge, objects, "under a tree")
+    sc.score_images(images, label=2, before=True)
+    # 1 object pass + 3 distinct style questions, zero per-image calls
+    assert calls == {"batch": 4, "single": 0}
+    a = ref.get_results()["before_removal"]
+    b = sc.get_results()["before_removal"]
+    assert a["object_score"] == b["object_score"] == 1.0
+    assert a["style_score"] == b["style_score"] == 2.0 / 3
+    assert a["unparsed"] == b["unparsed"] == 0
+    assert sorted(map(tuple, a["object_failures"])) == \
+        sorted(map(tuple, b["object_failures"]))
+    assert sorted(map(tuple, a["style_failures"])) == \
+        sorted(map(tuple, b["style_failures"]))
+
+
+def test_vqa_score_images_plain_judge_loops():
+    """Without .batch, score_images falls back to the per-image methods."""
+    from diffusion_models_moe_tpu.benchmarks.vqa import MultipleChoiceScorer
+    seen = []
+
+    def judge(image, question):
+        seen.append((image, question.split()[0]))
+        return "1"
+
+    sc = MultipleChoiceScorer(judge, ["cat", "dog"], "gender")
+    sc.score_images(["a", "b"], label=1, before=False)
+    assert len(seen) == 4  # 2 object + 2 style calls
+    r = sc.get_results()["after_removal"]
+    assert r["object_score"] == 0.5  # 'cat' re-identified, 'dog' not
+    assert r["style_score"] == 1.0   # label 1 expected, judge says 1

@@ -217,3 +217,41 @@ def test_qwen_chat_threads_history(pair):
     assert (f"what is this?<|im_end|>\n<|im_start|>assistant\n{a1}<|im_end|>"
             in tails[1])
     assert tails[1].endswith("<|im_start|>assistant\n")
+
+
+def test_qwen_batch_matches_per_image(pair):
+    """vqa.batch answers must equal per-image vqa answers exactly — across
+    two smart-resize grid groups and a ragged final chunk padded with blank
+    patch stacks — and return in input order."""
+    _, cfg, params = pair
+
+    def tokenize(text):
+        return np.asarray([3 + (abs(hash(t)) % 100)
+                           for t in text.split()], np.int64)
+
+    detok = lambda ids: " ".join(f"t{t}" for t in ids)
+    vqa = build_vqa(params, cfg, tokenize, detok, max_new_tokens=3,
+                    pad_multiple=16, max_pixels=16 * 16)
+    rng = np.random.default_rng(31)
+    # three share one grid after smart-resize; the 41x23 lands on another
+    sizes = [(33, 49), (32, 48), (41, 23), (33, 49)]
+    images = [(rng.random((h, w, 3)) * 255).astype(np.uint8)
+              for h, w in sizes]
+    solo = [vqa(img, "Is there a cat?") for img in images]
+    batched = vqa.batch(images, "Is there a cat?", batch_size=2)
+    assert batched == solo
+
+
+def test_qwen_generate_batch_matches_single(pair):
+    """generate() on stacked (B, n, pd) patches equals per-sample calls."""
+    _, cfg, params = pair
+    p1 = _patches(cfg, 16, 24, seed=41)[0]
+    p2 = _patches(cfg, 16, 24, seed=42)[0]
+    grid = _patches(cfg, 16, 24, seed=41)[1]
+    n_img = p1.shape[0] // cfg.vision.spatial_merge_size ** 2
+    ids = np.concatenate([[5, 7], [120] * n_img, [9, 11, 13]])
+    one = [generate(params, cfg, ids, p, grid, max_new_tokens=3, pad_to=16)
+           for p in (p1, p2)]
+    both = generate(params, cfg, ids, np.stack([p1, p2]), grid,
+                    max_new_tokens=3, pad_to=16)
+    np.testing.assert_array_equal(both, np.concatenate(one, axis=0))
