@@ -13,6 +13,10 @@ double FFN compute + per-call host copies). Every multiple printed downstream mu
 keep the word "estimated" attached.
 
 Resilience (round-1 postmortem, BENCH_r01.json rc=1 kernel fault):
+ - backend init runs under a watchdog deadline (DMOE_INIT_TIMEOUT, default
+   1200s — axon init has been observed to HANG, not error, on a wedged
+   tunnel; a hang would otherwise consume the driver's whole timeout with
+   no JSON evidence);
  - a trivial-jit probe runs before any heavy compile, so a wedged TPU service
    fails fast with evidence on stderr;
  - the primary attempt uses flash blocks 1024/1024 (measured 0.916 vs 0.888
@@ -59,6 +63,42 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+class InitHang(RuntimeError):
+    """Backend init did not complete — wedged TPU tunnel (axon init can HANG
+    rather than error; observed 2026-08-18 after killed clients)."""
+
+
+def _init_watchdog(timeout_s: float = 1200.0) -> None:
+    """Initialize the backend in a daemon thread with a deadline.
+
+    jax.devices() on this image's axon tunnel can block indefinitely when the
+    service is wedged; a bare hang would eat the driver's whole timeout and
+    leave NO JSON evidence. Legitimate init has been observed up to ~800s
+    under host CPU load (memory: probe 801s then ran fine), so the default
+    deadline stays comfortably above that. DMOE_INIT_TIMEOUT overrides."""
+    import threading
+    timeout_s = float(os.environ.get("DMOE_INIT_TIMEOUT", timeout_s))
+    done = threading.Event()
+    err: list = []
+
+    def _init():
+        try:
+            jax.devices()
+        except Exception as e:  # surfaced below on the main thread
+            err.append(e)
+        finally:
+            done.set()
+
+    t0 = time.perf_counter()
+    threading.Thread(target=_init, daemon=True).start()
+    if not done.wait(timeout_s):
+        raise InitHang(f"backend init incomplete after {timeout_s:.0f}s "
+                       "(wedged TPU tunnel?)")
+    if err:
+        raise err[0]
+    _log(f"# backend init {time.perf_counter()-t0:.1f}s")
+
+
 def _probe() -> None:
     """Trivial jit + host fetch. Fails fast (with evidence) if the TPU service
     is wedged, before we sink minutes into the UNet compile."""
@@ -74,6 +114,7 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
     from diffusion_models_moe_tpu.moefication.moefy import build_moe_interventions
     from diffusion_models_moe_tpu.taps import layer_name
 
+    _init_watchdog()
     _probe()
 
     import dataclasses
@@ -212,7 +253,11 @@ if __name__ == "__main__":
         main(**kwargs)
     except Exception as e:
         rc = 1
-        if os.environ.get("DMOE_BENCH_LEG", "") == "" \
+        if isinstance(e, InitHang):
+            # service-level wedge: fresh-process retries would hang on the
+            # same init for their full timeouts — emit the JSON line now
+            _log(f"# {e}; skipping fallback chain")
+        elif os.environ.get("DMOE_BENCH_LEG", "") == "" \
                 and os.environ.get("DMOE_BENCH_FALLBACK", "0") != "1":
             rc = _fallback(sys.argv[1:], e)
         if rc != 0:
