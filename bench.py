@@ -38,7 +38,8 @@ mode: doubled FF projection + per-(t,l) gate stat — measured 0.9335 vs 1.0733
 img/s native, a same-chip lower bound on the hook-architecture cost),
 DMOE_XLA_OPTS=k=v;... (compiler options; xla_tpu_scoped_vmem_limit_kib=98304
 measured 1.0083 — slower, rejected), DMOE_FF_2D=1 (2D-flattened FF dots;
-1.0695 — no win, off).
+1.0695 — no win, off), DMOE_QUANT=1 (int8 W8A8 serving mode),
+DMOE_WINOGRAD=1 (Winograd F(2x2,3x3) conv serving mode).
 """
 from __future__ import annotations
 
@@ -134,6 +135,11 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
         # int8 W8A8 serving mode (ops/quant.py) — outputs differ from bf16, so
         # this is never the default headline; the metric label says int8.
         unet = dataclasses.replace(unet, quant_int8=True)
+    wino = os.environ.get("DMOE_WINOGRAD", "0") == "1"
+    if wino:
+        # Winograd F(2x2,3x3) conv serving mode (ops/winograd.py) — same
+        # opt-in policy as int8: outputs differ at bf16 rounding scale.
+        unet = dataclasses.replace(unet, conv_winograd=True)
     cfg = dataclasses.replace(cfg, unet=unet)
     pipe = StableDiffusionPipeline(cfg)
     t_p = time.perf_counter()
@@ -200,6 +206,8 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
 
     imgs_per_sec = batch * runs / dt
     variant = " int8" if quant else ""
+    if wino:
+        variant += " winograd"
     if hook_sim:
         variant += " hook-sim"
     out = {

@@ -61,6 +61,13 @@ class UNetConfig:
     # no quantized path (SURVEY.md §0). Param tree is unchanged (dynamic
     # quantization; weight quantize is hoisted out of the denoise scan by XLA).
     quant_int8: bool = False
+    # Winograd F(2x2, 3x3) for the UNet's stride-1 3x3 convs (ops/winograd.py):
+    # 2.25x fewer MXU flops on the conv path (55% of the denoise step,
+    # docs/profiling.md). OPT-IN serving mode — outputs differ from the direct
+    # conv at bf16 rounding scale. Param tree unchanged (filter transform is
+    # loop-invariant; XLA hoists it out of the scan). Mutually exclusive with
+    # quant_int8.
+    conv_winograd: bool = False
     # SDXL additional conditioning: pooled text embedding width (0 = disabled)
     addition_embed_dim: int = 0
     # SDXL micro-conditioning time_ids count (6 for SDXL)

@@ -83,9 +83,35 @@ class QuantConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class WinoConv(nn.Module):
+    """``nn.Conv``-compatible stride-1 SAME 3x3 conv running the Winograd
+    F(2x2, 3x3) path (`ops/winograd.py`) — 2.25x fewer MXU flops; opt-in
+    serving mode (`UNetConfig.conv_winograd`)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusion_models_moe_tpu.ops.winograd import winograd_conv3x3
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = winograd_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 def make_conv(features, kernel_size=(3, 3), *, strides=(1, 1), padding=1,
-              dtype=jnp.float32, quant=False, name=None):
-    """nn.Conv, or its int8 twin when `quant` (identical param tree either way)."""
+              dtype=jnp.float32, quant=False, winograd=False, name=None):
+    """nn.Conv, or its int8 / Winograd twin (identical param tree either way).
+
+    `winograd` applies only to stride-1 3x3 convs (others fall back to the
+    direct path); it is mutually exclusive with `quant`."""
+    if winograd and kernel_size == (3, 3) and strides == (1, 1):
+        if quant:
+            raise ValueError("quant_int8 and conv_winograd are mutually "
+                             "exclusive serving modes")
+        return WinoConv(features, dtype=dtype, name=name)
     if quant:
         return QuantConv(features, kernel_size, strides=strides,
                          padding=padding, dtype=dtype, name=name)
@@ -102,6 +128,7 @@ class ResnetBlock2D(nn.Module):
     dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
     quant: bool = False
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
@@ -111,7 +138,8 @@ class ResnetBlock2D(nn.Module):
         h = maybe_barrier(nn.silu(h).astype(self.dtype), "DMOE_CONV_BARRIER",
                           default="1" if jax.default_backend() == "tpu" else "0")
         h = make_conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                      quant=self.quant, name="conv1")(h)
+                      quant=self.quant, winograd=self.winograd,
+                      name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
@@ -121,7 +149,8 @@ class ResnetBlock2D(nn.Module):
         h = maybe_barrier(nn.silu(h).astype(self.dtype), "DMOE_CONV_BARRIER",
                           default="1" if jax.default_backend() == "tpu" else "0")
         h = make_conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                      quant=self.quant, name="conv2")(h)
+                      quant=self.quant, winograd=self.winograd,
+                      name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = make_conv(self.out_channels, (1, 1), padding=0,
                                  dtype=self.dtype, quant=self.quant,
@@ -144,6 +173,7 @@ class Upsample2D(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     quant: bool = False
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -152,4 +182,5 @@ class Upsample2D(nn.Module):
         x = jnp.broadcast_to(x[:, :, None, :, None, :],
                              (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
         return make_conv(self.out_channels, (3, 3), padding=1,
-                         dtype=self.dtype, quant=self.quant, name="conv")(x)
+                         dtype=self.dtype, quant=self.quant,
+                         winograd=self.winograd, name="conv")(x)

@@ -99,6 +99,7 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
                                norm_dtype=ndt, quant=cfg.quant_int8,
+                               winograd=cfg.conv_winograd,
                                name=f"down_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"down_{i}_attn_{j}",
@@ -113,12 +114,14 @@ class UNet2DCondition(nn.Module):
         # --- mid ------------------------------------------------------------------
         mid_ch = channels[-1]
         h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
-                       quant=cfg.quant_int8, name="mid_res_0")(h, temb)
+                       quant=cfg.quant_int8, winograd=cfg.conv_winograd,
+                       name="mid_res_0")(h, temb)
         h = make_transformer(mid_ch, ff_index, "mid_attn_0",
                              len(channels) - 1)(h, context, **tkw)
         ff_index += cfg.depth_for_block(len(channels) - 1)
         h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
-                       quant=cfg.quant_int8, name="mid_res_1")(h, temb)
+                       quant=cfg.quant_int8, winograd=cfg.conv_winograd,
+                       name="mid_res_1")(h, temb)
 
         # --- up path ----------------------------------------------------------------
         rev_channels = list(reversed(channels))
@@ -129,6 +132,7 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, res], axis=-1)
                 h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
                                norm_dtype=ndt, quant=cfg.quant_int8,
+                               winograd=cfg.conv_winograd,
                                name=f"up_{i}_res_{j}")(h, temb)
                 if kind == "cross":
                     h = make_transformer(out_ch, ff_index, f"up_{i}_attn_{j}",
@@ -136,6 +140,7 @@ class UNet2DCondition(nn.Module):
                     ff_index += cfg.depth_for_block(len(channels) - 1 - i)
             if i < len(cfg.up_block_types) - 1:
                 h = Upsample2D(out_ch, dtype=dt, quant=cfg.quant_int8,
+                               winograd=cfg.conv_winograd,
                                name=f"up_{i}_upsample")(h)
 
         # --- out -----------------------------------------------------------------

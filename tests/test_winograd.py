@@ -1,0 +1,84 @@
+"""Winograd F(2x2, 3x3) serving mode (ops/winograd.py + conv_winograd flag).
+
+The transform matrices are 0/±1/0.5 (exact in binary) and transforms run in
+f32, so at f32 the Winograd conv must match the direct convolution to float
+rounding; the flag must not change the param pytree; and the tiny pipeline
+must track the direct path closely."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_moe_tpu.ops.winograd import winograd_conv3x3
+
+
+def _direct(x, w):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, w, (1, 1), ((1, 1), (1, 1)),
+                                        dimension_numbers=dn)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 8, 8, 5, 7),      # even spatial
+    (1, 7, 9, 3, 4),      # odd spatial (tile crop path)
+    (1, 1, 1, 2, 3),      # degenerate 1x1 image
+    (2, 16, 16, 8, 8),    # SD-like tile grid
+])
+def test_winograd_matches_direct_conv_f32(shape):
+    b, h, w, ci, co = shape
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (b, h, w, ci), jnp.float32)
+    k = jax.random.normal(kw, (3, 3, ci, co), jnp.float32) * 0.1
+    ref = np.asarray(_direct(x, k))
+    got = np.asarray(winograd_conv3x3(x, k))
+    scale = np.abs(ref).max() + 1e-9
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+
+def test_winograd_bf16_error_at_rounding_scale():
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (2, 16, 16, 32), jnp.bfloat16)
+    k = (jax.random.normal(kw, (3, 3, 32, 32), jnp.float32) * 0.1
+         ).astype(jnp.bfloat16)
+    ref = np.asarray(_direct(x, k), np.float32)
+    got = np.asarray(winograd_conv3x3(x, k), np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel   # bf16 rounding scale, not divergence
+
+
+def test_winograd_param_tree_unchanged_and_pipeline_tracks_direct():
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+    cfg = tiny_config()
+    wcfg = dataclasses.replace(
+        cfg, unet=dataclasses.replace(cfg.unet, conv_winograd=True))
+    pipe, wpipe = StableDiffusionPipeline(cfg), StableDiffusionPipeline(wcfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    wparams = wpipe.init_params(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(wparams))
+
+    tcfg = cfg.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(3), (1, tcfg.max_length),
+                              0, tcfg.vocab_size)
+    uncond = jnp.zeros_like(cond)
+    img, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(7),
+                           num_steps=2, decode=False)
+    wimg, _ = wpipe.generate(params, cond, uncond, jax.random.PRNGKey(7),
+                             num_steps=2, decode=False)
+    a, b = np.asarray(img, np.float64), np.asarray(wimg, np.float64)
+    assert np.isfinite(b).all()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    assert rel < 1e-4, rel   # f32 tiny config: float-rounding drift only
+
+
+def test_winograd_quant_mutually_exclusive():
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
+    cfg = tiny_config()
+    bad = dataclasses.replace(
+        cfg, unet=dataclasses.replace(cfg.unet, conv_winograd=True,
+                                      quant_int8=True))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        StableDiffusionPipeline(bad).init_params(jax.random.PRNGKey(0))
