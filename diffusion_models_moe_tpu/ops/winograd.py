@@ -33,60 +33,99 @@ import numpy as np
 from jax import lax
 
 # F(2x2, 3x3) transform matrices (Lavin & Gray 2015, eq. 10-11).
-_BT = np.array([[1, 0, -1, 0],
-                [0, 1, 1, 0],
-                [0, -1, 1, 0],
-                [0, 1, 0, -1]], np.float32)
-_G = np.array([[1, 0, 0],
-               [0.5, 0.5, 0.5],
-               [0.5, -0.5, 0.5],
-               [0, 0, 1]], np.float32)
-_AT = np.array([[1, 1, 1, 0],
-                [0, 1, -1, -1]], np.float32)
+_BT2 = np.array([[1, 0, -1, 0],
+                 [0, 1, 1, 0],
+                 [0, -1, 1, 0],
+                 [0, 1, 0, -1]], np.float32)
+_G2 = np.array([[1, 0, 0],
+                [0.5, 0.5, 0.5],
+                [0.5, -0.5, 0.5],
+                [0, 0, 1]], np.float32)
+_AT2 = np.array([[1, 1, 1, 0],
+                 [0, 1, -1, -1]], np.float32)
+
+# F(4x4, 3x3) (Lavin & Gray 2015 §4.1): 6x6 tiles, stride 4 — 36 multiplies
+# per 16 outputs = 4x fewer than direct. G has 1/6, 1/12, 1/24 entries (not
+# binary-exact), so bf16 error is slightly larger than F(2x2); still at
+# rounding scale for SD weight magnitudes.
+_BT4 = np.array([[4, 0, -5, 0, 1, 0],
+                 [0, -4, -4, 1, 1, 0],
+                 [0, 4, -4, -1, 1, 0],
+                 [0, -2, -1, 2, 1, 0],
+                 [0, 2, -1, -2, 1, 0],
+                 [0, 4, 0, -5, 0, 1]], np.float32)
+_G4 = np.array([[1 / 4, 0, 0],
+                [-1 / 6, -1 / 6, -1 / 6],
+                [-1 / 6, 1 / 6, -1 / 6],
+                [1 / 24, 1 / 12, 1 / 6],
+                [1 / 24, -1 / 12, 1 / 6],
+                [0, 0, 1]], np.float32)
+_AT4 = np.array([[1, 1, 1, 1, 1, 0],
+                 [0, 1, -1, 2, -2, 0],
+                 [0, 1, 1, 4, 4, 0],
+                 [0, 1, -1, 8, -8, 1]], np.float32)
+
+_MATS = {2: (_BT2, _G2, _AT2), 4: (_BT4, _G4, _AT4)}
 
 
-def transform_filter(w: jax.Array) -> jax.Array:
-    """HWIO (3, 3, Cin, Cout) -> (16, Cin, Cout) Winograd-domain filter U.
+def _tile() -> int:
+    """Output tile size m in F(mxm, 3x3): 2 (default) or 4 via DMOE_WINO_TILE
+    (env knob, same style as the other measured perf toggles)."""
+    import os
+    t = int(os.environ.get("DMOE_WINO_TILE", "2"))
+    if t not in _MATS:
+        raise ValueError(f"DMOE_WINO_TILE must be one of {sorted(_MATS)}")
+    return t
 
-    U[xi, nu] = (G w G^T)[xi, nu]; computed in f32 (exact: G is 0/0.5/1)."""
+
+def transform_filter(w: jax.Array, tile: int = 2) -> jax.Array:
+    """HWIO (3, 3, Cin, Cout) -> ((m+2)^2, Cin, Cout) Winograd filter U.
+
+    U[xi, nu] = (G w G^T)[xi, nu]; computed in f32."""
     kh, kw = w.shape[:2]
     if (kh, kw) != (3, 3):
         raise ValueError(f"winograd filter must be 3x3, got {(kh, kw)}")
-    u = jnp.einsum("xr,ys,rsio->xyio", _G, _G, w.astype(jnp.float32))
-    return u.reshape(16, *w.shape[2:])
+    g = _MATS[tile][1]
+    u = jnp.einsum("xr,ys,rsio->xyio", g, g, w.astype(jnp.float32))
+    return u.reshape((tile + 2) ** 2, *w.shape[2:])
 
 
-def winograd_conv3x3(x: jax.Array, w: jax.Array, out_dtype=None) -> jax.Array:
-    """NHWC stride-1 SAME 3x3 convolution via Winograd F(2x2, 3x3).
+def winograd_conv3x3(x: jax.Array, w: jax.Array, out_dtype=None,
+                     tile: int | None = None) -> jax.Array:
+    """NHWC stride-1 SAME 3x3 convolution via Winograd F(mxm, 3x3).
 
-    `x` (B, H, W, Cin), `w` HWIO (3, 3, Cin, Cout). Matmul runs in x.dtype
-    (f32 MXU accumulation); transforms in f32. Returns (B, H, W, Cout)."""
+    `x` (B, H, W, Cin), `w` HWIO (3, 3, Cin, Cout). The (m+2)^2 per-position
+    products run as one batched MXU matmul in x.dtype (f32 accumulation);
+    transforms in f32. Returns (B, H, W, Cout)."""
     out_dtype = out_dtype or x.dtype
+    m = tile if tile is not None else _tile()
+    bt, _, at = _MATS[m]
+    a = m + 2                                   # input tile size
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
-    th, tw = math.ceil(h / 2), math.ceil(wd / 2)
-    # Output tile (2i, 2j) reads padded-input rows 2i..2i+3; SAME padding puts
+    th, tw = math.ceil(h / m), math.ceil(wd / m)
+    # Output tile (mi, mj) reads padded-input rows mi..mi+a-1; SAME padding puts
     # one zero row/col on top/left and enough on bottom/right for the last tile.
-    pad = ((0, 0), (1, 2 * th + 1 - h), (1, 2 * tw + 1 - wd), (0, 0))
+    pad = ((0, 0), (1, m * th + 1 - h), (1, m * tw + 1 - wd), (0, 0))
     xp = jnp.pad(x.astype(jnp.float32), pad)
 
-    # 4x4 tile extraction as 16 strided slices (stride 2 in each direction):
-    # d[r, s][:, i, j] = xp[:, 2i + r, 2j + s] — overlapping tiles, no gather.
-    rows = [xp[:, r:r + 2 * th:2] for r in range(4)]
-    d = jnp.stack([jnp.stack([rr[:, :, s:s + 2 * tw:2] for s in range(4)], 0)
-                   for rr in rows], 0)                      # (4, 4, B, th, tw, C)
+    # axa tile extraction as a^2 strided slices (stride m in each direction):
+    # d[r, s][:, i, j] = xp[:, m*i + r, m*j + s] — overlapping tiles, no gather.
+    rows = [xp[:, r:r + m * th:m] for r in range(a)]
+    d = jnp.stack([jnp.stack([rr[:, :, s:s + m * tw:m] for s in range(a)], 0)
+                   for rr in rows], 0)                   # (a, a, B, th, tw, C)
 
-    # Input transform V = B^T d B (adds/subs only; fused by XLA).
-    v = jnp.einsum("xr,ys,rsbijc->xybijc", _BT, _BT, d)
-    v = v.reshape(16, b * th * tw, cin).astype(x.dtype)
+    # Input transform V = B^T d B (small-constant combinations; fused by XLA).
+    v = jnp.einsum("xr,ys,rsbijc->xybijc", bt, bt, d)
+    v = v.reshape(a * a, b * th * tw, cin).astype(x.dtype)
 
-    # The 16 Winograd-domain products as one batched MXU matmul.
-    u = transform_filter(w).astype(x.dtype)                 # (16, Cin, Cout)
-    m = lax.dot_general(v, u, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)  # (16, N, Cout)
+    # The a^2 Winograd-domain products as one batched MXU matmul.
+    u = transform_filter(w, m).astype(x.dtype)           # (a^2, Cin, Cout)
+    prod = lax.dot_general(v, u, (((2,), (1,)), ((0,), (0,))),
+                           preferred_element_type=jnp.float32)  # (a^2, N, Cout)
 
-    # Output transform Y = A^T m A, then tile reassembly + crop.
-    m = m.reshape(4, 4, b, th, tw, cout)
-    y = jnp.einsum("px,qy,xybijc->bipjqc", _AT, _AT, m)      # (B, th, 2, tw, 2, C)
-    y = y.reshape(b, 2 * th, 2 * tw, cout)[:, :h, :wd]
+    # Output transform Y = A^T prod A, then tile reassembly + crop.
+    prod = prod.reshape(a, a, b, th, tw, cout)
+    y = jnp.einsum("px,qy,xybijc->bipjqc", at, at, prod)  # (B, th, m, tw, m, C)
+    y = y.reshape(b, m * th, m * tw, cout)[:, :h, :wd]
     return y.astype(out_dtype)

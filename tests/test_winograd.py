@@ -21,21 +21,23 @@ def _direct(x, w):
                                         dimension_numbers=dn)
 
 
+@pytest.mark.parametrize("tile", [2, 4])
 @pytest.mark.parametrize("shape", [
     (2, 8, 8, 5, 7),      # even spatial
     (1, 7, 9, 3, 4),      # odd spatial (tile crop path)
     (1, 1, 1, 2, 3),      # degenerate 1x1 image
     (2, 16, 16, 8, 8),    # SD-like tile grid
 ])
-def test_winograd_matches_direct_conv_f32(shape):
+def test_winograd_matches_direct_conv_f32(shape, tile):
     b, h, w, ci, co = shape
     kx, kw = jax.random.split(jax.random.PRNGKey(0))
     x = jax.random.normal(kx, (b, h, w, ci), jnp.float32)
     k = jax.random.normal(kw, (3, 3, ci, co), jnp.float32) * 0.1
     ref = np.asarray(_direct(x, k))
-    got = np.asarray(winograd_conv3x3(x, k))
+    got = np.asarray(winograd_conv3x3(x, k, tile=tile))
     scale = np.abs(ref).max() + 1e-9
-    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+    np.testing.assert_allclose(got / scale, ref / scale,
+                               atol=2e-6 if tile == 2 else 2e-5)
 
 
 def test_winograd_bf16_error_at_rounding_scale():
