@@ -65,8 +65,9 @@ class UNetConfig:
     # 2.25x fewer MXU flops on the conv path (55% of the denoise step,
     # docs/profiling.md). OPT-IN serving mode — outputs differ from the direct
     # conv at bf16 rounding scale. Param tree unchanged (filter transform is
-    # loop-invariant; XLA hoists it out of the scan). Mutually exclusive with
-    # quant_int8.
+    # loop-invariant; XLA hoists it out of the scan). Combined with
+    # quant_int8, Winograd takes the stride-1 3x3 convs and int8 the rest of
+    # the convs plus all dots.
     conv_winograd: bool = False
     # SDXL additional conditioning: pooled text embedding width (0 = disabled)
     addition_embed_dim: int = 0

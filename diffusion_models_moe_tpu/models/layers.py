@@ -106,11 +106,10 @@ def make_conv(features, kernel_size=(3, 3), *, strides=(1, 1), padding=1,
     """nn.Conv, or its int8 / Winograd twin (identical param tree either way).
 
     `winograd` applies only to stride-1 3x3 convs (others fall back to the
-    direct path); it is mutually exclusive with `quant`."""
+    direct path). When combined with `quant`, Winograd takes the eligible
+    3x3 convs and int8 the rest (1x1 shortcuts, stride-2 downsamples) — the
+    combined serving mode; the dots stay int8 either way."""
     if winograd and kernel_size == (3, 3) and strides == (1, 1):
-        if quant:
-            raise ValueError("quant_int8 and conv_winograd are mutually "
-                             "exclusive serving modes")
         return WinoConv(features, dtype=dtype, name=name)
     if quant:
         return QuantConv(features, kernel_size, strides=strides,

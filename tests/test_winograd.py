@@ -76,11 +76,29 @@ def test_winograd_param_tree_unchanged_and_pipeline_tracks_direct():
     assert rel < 1e-4, rel   # f32 tiny config: float-rounding drift only
 
 
-def test_winograd_quant_mutually_exclusive():
+def test_winograd_int8_combined_mode_runs():
+    """conv_winograd + quant_int8 together = the combined serving mode
+    (Winograd 3x3 convs, int8 everything else); same param tree, sane
+    outputs near the float path."""
     from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
     cfg = tiny_config()
-    bad = dataclasses.replace(
+    ccfg = dataclasses.replace(
         cfg, unet=dataclasses.replace(cfg.unet, conv_winograd=True,
                                       quant_int8=True))
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        StableDiffusionPipeline(bad).init_params(jax.random.PRNGKey(0))
+    pipe, cpipe = StableDiffusionPipeline(cfg), StableDiffusionPipeline(ccfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                cpipe.init_params(jax.random.PRNGKey(0))))
+    tcfg = cfg.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(3), (1, tcfg.max_length),
+                              0, tcfg.vocab_size)
+    uncond = jnp.zeros_like(cond)
+    img, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(7),
+                           num_steps=2, decode=False)
+    cimg, _ = cpipe.generate(params, cond, uncond, jax.random.PRNGKey(7),
+                             num_steps=2, decode=False)
+    a, b = np.asarray(img, np.float64), np.asarray(cimg, np.float64)
+    assert np.isfinite(b).all()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    assert rel < 0.35, rel   # int8-quantization-scale drift, not divergence
