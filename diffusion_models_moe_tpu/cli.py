@@ -48,17 +48,28 @@ def _load_pipe(args):
     _maybe_force_cpu(args)
     from diffusion_models_moe_tpu import (StableDiffusionPipeline, sd15_config,
                                           tiny_config)
+    def _serving_modes(cfg):
+        # opt-in serving modes (outputs differ from bf16 — ops/quant.py,
+        # ops/winograd.py); exposed on the `serve` subcommand
+        if getattr(args, "int8", False) or getattr(args, "winograd", False):
+            import dataclasses
+            cfg = dataclasses.replace(cfg, unet=dataclasses.replace(
+                cfg.unet, quant_int8=getattr(args, "int8", False),
+                conv_winograd=getattr(args, "winograd", False)))
+        return cfg
+
     if args.snapshot:
         import jax.numpy as jnp
         from diffusion_models_moe_tpu.data.tokenizer import load_tokenizer
         from diffusion_models_moe_tpu.weights.port import port_pipeline
-        cfg = sd15_config(dtype=jnp.bfloat16,
-                          relufied=getattr(args, "relufied", False))
+        cfg = _serving_modes(sd15_config(dtype=jnp.bfloat16,
+                                         relufied=getattr(args, "relufied",
+                                                          False)))
         pipe = StableDiffusionPipeline(cfg)
         params = port_pipeline(args.snapshot, cfg)
         tokenize = load_tokenizer(os.path.join(args.snapshot, "tokenizer"))
     else:
-        pipe = StableDiffusionPipeline(tiny_config())
+        pipe = StableDiffusionPipeline(_serving_modes(tiny_config()))
         params = pipe.init_params(jax.random.PRNGKey(0))
         tokenize = _hash_tokenize(pipe.config.text_encoder.vocab_size,
                                   pipe.config.text_encoder.max_length)
@@ -953,6 +964,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--labels", default=None)
     sp.add_argument("--topk", type=float, default=0.3)
     sp.add_argument("--out-dir", default="served")
+    sp.add_argument("--int8", action="store_true",
+                    help="int8 W8A8 serving mode (outputs differ from bf16)")
+    sp.add_argument("--winograd", action="store_true",
+                    help="Winograd 3x3-conv serving mode (DMOE_WINO_TILE=4 "
+                         "for F(4x4,3x3); composes with --int8)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("wanda"); common(sp, concept=True)
