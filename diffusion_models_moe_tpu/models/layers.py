@@ -109,7 +109,8 @@ def make_conv(features, kernel_size=(3, 3), *, strides=(1, 1), padding=1,
     direct path). When combined with `quant`, Winograd takes the eligible
     3x3 convs and int8 the rest (1x1 shortcuts, stride-2 downsamples) — the
     combined serving mode; the dots stay int8 either way."""
-    if winograd and kernel_size == (3, 3) and strides == (1, 1):
+    if winograd and kernel_size == (3, 3) and strides == (1, 1) \
+            and padding == 1:   # ops/winograd.py computes SAME padding
         return WinoConv(features, dtype=dtype, name=name)
     if quant:
         return QuantConv(features, kernel_size, strides=strides,
