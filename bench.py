@@ -207,7 +207,7 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
     imgs_per_sec = batch * runs / dt
     variant = " int8" if quant else ""
     if wino:
-        variant += " winograd"
+        variant += f" winograd-m{os.environ.get('DMOE_WINO_TILE', '2')}"
     if hook_sim:
         variant += " hook-sim"
     out = {

@@ -107,7 +107,11 @@ def winograd_conv3x3(x: jax.Array, w: jax.Array, out_dtype=None,
     # Output tile (mi, mj) reads padded-input rows mi..mi+a-1; SAME padding puts
     # one zero row/col on top/left and enough on bottom/right for the last tile.
     pad = ((0, 0), (1, m * th + 1 - h), (1, m * tw + 1 - wd), (0, 0))
-    xp = jnp.pad(x.astype(jnp.float32), pad)
+    # Pad/tile in the input dtype: the a^2-way tile stack is the largest
+    # intermediate (a^2/m^2 = 4x/2.25x the input elements); the transform
+    # einsum below promotes to f32 anyway (f32 bt), so upcasting here would
+    # only double its memory.
+    xp = jnp.pad(x, pad)
 
     # axa tile extraction as a^2 strided slices (stride m in each direction):
     # d[r, s][:, i, j] = xp[:, m*i + r, m*j + s] — overlapping tiles, no gather.

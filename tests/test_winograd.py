@@ -40,13 +40,14 @@ def test_winograd_matches_direct_conv_f32(shape, tile):
                                atol=2e-6 if tile == 2 else 2e-5)
 
 
-def test_winograd_bf16_error_at_rounding_scale():
+@pytest.mark.parametrize("tile", [2, 4])
+def test_winograd_bf16_error_at_rounding_scale(tile):
     kx, kw = jax.random.split(jax.random.PRNGKey(1))
     x = jax.random.normal(kx, (2, 16, 16, 32), jnp.bfloat16)
     k = (jax.random.normal(kw, (3, 3, 32, 32), jnp.float32) * 0.1
          ).astype(jnp.bfloat16)
     ref = np.asarray(_direct(x, k), np.float32)
-    got = np.asarray(winograd_conv3x3(x, k), np.float32)
+    got = np.asarray(winograd_conv3x3(x, k, tile=tile), np.float32)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.03, rel   # bf16 rounding scale, not divergence
 
