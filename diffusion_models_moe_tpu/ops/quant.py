@@ -7,9 +7,9 @@ The v5e MXU runs int8 at 2x the bf16 rate; measured through this stack
     conv 32x32x640  : 1.49x    dot 16384x640x2560 : 1.73x
     conv 16x16x1280 : 1.97x    dot 4096x1280x5120 : 1.08x
 
-Scheme: per-tensor dynamic activation scales + per-output-channel weight
-scales, symmetric (zero-point 0, so zero padding stays exact), int32
-accumulation, dequant in f32. Weight quantization is loop-invariant in the
+Scheme: dynamic activation scales (per-token for dots, per-tensor for convs)
++ per-output-channel weight scales, symmetric (zero-point 0, so zero padding
+stays exact), int32 accumulation, dequant in f32. Weight quantization is loop-invariant in the
 denoise scan, so XLA hoists it out of the 50-step loop (verified via profile).
 
 This is an OPT-IN serving mode (`UNetConfig.quant_int8`): outputs differ from
@@ -38,13 +38,21 @@ def _act_scale(x: jax.Array) -> jax.Array:
     return jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), _EPS) / 127.0
 
 
-def int8_dot(x: jax.Array, w: jax.Array, out_dtype=None) -> jax.Array:
+def int8_dot(x: jax.Array, w: jax.Array, out_dtype=None,
+             per_token: bool = True) -> jax.Array:
     """x (..., K) @ w (K, N) with W8A8 int8 MXU math.
 
-    Weight scales are per output column (axis 0 absmax); activation scale is
-    per-tensor dynamic. Returns x.dtype (or `out_dtype`)."""
+    Weight scales are per output column (axis 0 absmax); activation scales are
+    per-token (absmax over K per row — standard W8A8 practice, e.g.
+    SmoothQuant's dynamic per-token variant; `per_token=False` falls back to
+    one per-tensor scale). The rowwise reduce + outer-product dequant fuse
+    into the surrounding elementwise work. Returns x.dtype (or `out_dtype`)."""
     out_dtype = out_dtype or x.dtype
-    sx = _act_scale(x)
+    if per_token:
+        sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                         .astype(jnp.float32), _EPS) / 127.0   # (..., 1)
+    else:
+        sx = _act_scale(x)
     sw = jnp.maximum(jnp.max(jnp.abs(w), axis=0).astype(jnp.float32),
                      _EPS) / 127.0                       # (N,)
     y = lax.dot_general(_quantize(x, sx), _quantize(w, sw[None, :]),

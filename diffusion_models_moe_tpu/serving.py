@@ -19,7 +19,7 @@ Interventions (moefied routing, erasure masks) and a dp/tp mesh pass straight
 through to `generate`, so a moefied or concept-erased model serves exactly like
 a plain one.
 
-Caveat: the int8 serving mode (`UNetConfig.quant_int8`) uses per-TENSOR dynamic
+Caveat: the int8 serving mode (`UNetConfig.quant_int8`) uses dynamic
 activation scales, so co-batched requests weakly couple through the shared
 scale — the determinism contract above holds exactly only on the bf16 path.
 

@@ -25,23 +25,33 @@ def _grid(key, shape, scale):
 def test_int8_dot_exact_on_grid():
     kx, kw = jax.random.split(jax.random.PRNGKey(0))
     x = _grid(kx, (7, 33), 3.0)
+    # per-token scales: pin each ROW's absmax to the grid scale
+    x = x.at[:, 0].set(3.0)
     # per-column grids: column j uses scale (j+1)/4
     cols = [np.asarray(_grid(jax.random.fold_in(kw, j), (33, 1), (j + 1) / 4.0))
             for j in range(5)]
     w = jnp.asarray(np.concatenate(cols, axis=1))
-    got = int8_dot(x, w)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w),
-                               rtol=1e-5, atol=1e-5)
+    for per_token in (True, False):
+        got = int8_dot(x, w, per_token=per_token)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_int8_dot_error_bound_random():
     kx, kw = jax.random.split(jax.random.PRNGKey(1))
     x = jax.random.normal(kx, (64, 128))
+    # heterogeneous row magnitudes: per-token scaling must beat per-tensor
+    x = x * (10.0 ** jnp.linspace(-2, 0, 64))[:, None]
     w = jax.random.normal(kw, (128, 96))
-    got = np.asarray(int8_dot(x, w))
     ref = np.asarray(x @ w)
-    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
-    assert rel < 0.02, rel
+
+    def rel(per_token):
+        got = np.asarray(int8_dot(x, w, per_token=per_token))
+        return np.linalg.norm(got - ref) / np.linalg.norm(ref)
+
+    r_tok, r_tensor = rel(True), rel(False)
+    assert r_tok < 0.02, r_tok
+    assert r_tok < r_tensor, (r_tok, r_tensor)
 
 
 def test_int8_conv_exact_on_grid_matches_padded_float_conv():
