@@ -141,6 +141,11 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
         # opt-in policy as int8: outputs differ at bf16 rounding scale.
         unet = dataclasses.replace(unet, conv_winograd=True)
     cfg = dataclasses.replace(cfg, unet=unet)
+    if quant or wino:
+        # VAE decoder convs join the serving mode (models/vae.py; the decode
+        # runs once per image so this mostly matters at few-step serving).
+        cfg = dataclasses.replace(cfg, vae=dataclasses.replace(
+            cfg.vae, quant_int8=quant, conv_winograd=wino))
     pipe = StableDiffusionPipeline(cfg)
     t_p = time.perf_counter()
     params = jax.block_until_ready(pipe.init_params(jax.random.PRNGKey(0)))

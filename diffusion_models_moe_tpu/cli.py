@@ -53,9 +53,15 @@ def _load_pipe(args):
         # ops/winograd.py); exposed on the `serve` subcommand
         if getattr(args, "int8", False) or getattr(args, "winograd", False):
             import dataclasses
-            cfg = dataclasses.replace(cfg, unet=dataclasses.replace(
-                cfg.unet, quant_int8=getattr(args, "int8", False),
-                conv_winograd=getattr(args, "winograd", False)))
+            int8 = getattr(args, "int8", False)
+            wino = getattr(args, "winograd", False)
+            cfg = dataclasses.replace(
+                cfg,
+                unet=dataclasses.replace(cfg.unet, quant_int8=int8,
+                                         conv_winograd=wino),
+                # VAE decoder convs join the serving mode (encoder stays exact)
+                vae=dataclasses.replace(cfg.vae, quant_int8=int8,
+                                        conv_winograd=wino))
         return cfg
 
     if args.snapshot:

@@ -145,6 +145,13 @@ class VAEConfig:
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
     dtype: Any = jnp.float32
+    # Opt-in serving modes for the DECODER convs (the encoder is a training
+    # path and stays exact): int8 W8A8 (ops/quant.py) and/or Winograd 3x3
+    # (ops/winograd.py). Same policy as the UNet twins — outputs differ from
+    # the direct path at rounding scale, never the parity headline. The VAE
+    # decode is the dominant cost of few-step (LCM) serving.
+    quant_int8: bool = False
+    conv_winograd: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

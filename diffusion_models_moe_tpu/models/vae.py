@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from diffusion_models_moe_tpu.config import VAEConfig
-from diffusion_models_moe_tpu.models.layers import ResnetBlock2D, Upsample2D
+from diffusion_models_moe_tpu.models.layers import (ResnetBlock2D, Upsample2D,
+                                                    make_conv)
 
 
 class VAEAttention(nn.Module):
@@ -40,15 +41,21 @@ class VAEMidBlock(nn.Module):
     channels: int
     norm_num_groups: int
     dtype: Any = jnp.float32
+    quant: bool = False       # decoder serving modes; encoder leaves defaults
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = ResnetBlock2D(self.channels, self.norm_num_groups, eps=1e-6,
-                          use_time_emb=False, dtype=self.dtype, name="res_0")(x)
+                          use_time_emb=False, dtype=self.dtype,
+                          quant=self.quant, winograd=self.winograd,
+                          name="res_0")(x)
         x = VAEAttention(self.channels, self.norm_num_groups,
                          dtype=self.dtype, name="attn")(x)
         x = ResnetBlock2D(self.channels, self.norm_num_groups, eps=1e-6,
-                          use_time_emb=False, dtype=self.dtype, name="res_1")(x)
+                          use_time_emb=False, dtype=self.dtype,
+                          quant=self.quant, winograd=self.winograd,
+                          name="res_1")(x)
         return x
 
 
@@ -60,22 +67,29 @@ class VAEDecoder(nn.Module):
         """latents: (B, h, w, 4) *scaled* latents. Returns images (B, 8h, 8w, 3) in [-1, 1]."""
         cfg = self.cfg
         dt = cfg.dtype
+        quant, wino = cfg.quant_int8, cfg.conv_winograd
         z = (latents / cfg.scaling_factor).astype(dt)
-        z = nn.Conv(cfg.latent_channels, (1, 1), dtype=dt, name="post_quant_conv")(z)
+        z = make_conv(cfg.latent_channels, (1, 1), padding=0, dtype=dt,
+                      quant=quant, name="post_quant_conv")(z)
         rev = list(reversed(cfg.block_out_channels))
-        h = nn.Conv(rev[0], (3, 3), padding=1, dtype=dt, name="conv_in")(z)
-        h = VAEMidBlock(rev[0], cfg.norm_num_groups, dtype=dt, name="mid")(h)
+        h = make_conv(rev[0], (3, 3), padding=1, dtype=dt, quant=quant,
+                      winograd=wino, name="conv_in")(z)
+        h = VAEMidBlock(rev[0], cfg.norm_num_groups, dtype=dt,
+                        quant=quant, winograd=wino, name="mid")(h)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock2D(ch, cfg.norm_num_groups, eps=1e-6,
                                   use_time_emb=False, dtype=dt,
+                                  quant=quant, winograd=wino,
                                   name=f"up_{i}_res_{j}")(h)
             if i < len(rev) - 1:
-                h = Upsample2D(ch, dtype=dt, name=f"up_{i}_upsample")(h)
+                h = Upsample2D(ch, dtype=dt, quant=quant, winograd=wino,
+                               name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=jnp.float32, name="conv_norm_out")(h)
         h = nn.silu(h).astype(dt)
-        h = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(h)
+        h = make_conv(cfg.in_channels, (3, 3), padding=1, dtype=dt,
+                      quant=quant, winograd=wino, name="conv_out")(h)
         return h.astype(jnp.float32)
 
 

@@ -77,6 +77,35 @@ def test_winograd_param_tree_unchanged_and_pipeline_tracks_direct():
     assert rel < 1e-4, rel   # f32 tiny config: float-rounding drift only
 
 
+def test_vae_decoder_serving_modes_track_direct():
+    """VAEConfig.conv_winograd / quant_int8 route the DECODER convs through
+    the serving-mode twins (models/vae.py) with an unchanged param pytree —
+    the dominant cost of few-step (LCM) serving is the VAE decode."""
+    from diffusion_models_moe_tpu.config import VAEConfig
+    from diffusion_models_moe_tpu.models.vae import VAEDecoder
+    cfg = VAEConfig(block_out_channels=(32, 32, 64, 64), norm_num_groups=8)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4), jnp.float32)
+    dec = VAEDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(1), z)
+    ref = np.asarray(dec.apply(params, z), np.float64)
+
+    wdec = VAEDecoder(dataclasses.replace(cfg, conv_winograd=True))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(wdec.init(jax.random.PRNGKey(1), z)))
+    got = np.asarray(wdec.apply(params, z), np.float64)
+    rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 1e-4, rel   # f32: float-rounding drift only
+
+    cdec = VAEDecoder(dataclasses.replace(cfg, conv_winograd=True,
+                                          quant_int8=True))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(cdec.init(jax.random.PRNGKey(1), z)))
+    got = np.asarray(cdec.apply(params, z), np.float64)
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 0.35, rel   # int8-quantization-scale drift, not divergence
+
+
 def test_winograd_int8_combined_mode_runs():
     """conv_winograd + quant_int8 together = the combined serving mode
     (Winograd 3x3 convs, int8 everything else); same param tree, sane
