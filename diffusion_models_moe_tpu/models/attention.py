@@ -46,6 +46,42 @@ def make_dense(features, *, use_bias=True, dtype=jnp.float32, quant=False,
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
+class _PadHeadProj(nn.Module):
+    """q/k/v projection emitting (B, S, heads, d_pad) directly, with the
+    flash kernel's 128-lane head-dim zero-pad FOLDED INTO THE WEIGHTS
+    (zero kernel columns per head). Param-compatible with
+    ``nn.Dense(query_dim)`` (same 2D ``kernel``/``bias``); the pad is
+    loop-invariant so XLA hoists it out of the denoise scan. Removes the
+    pad_bitcast copies at the flash boundary (profiled 345ms/generate,
+    docs/profiling.md) at the cost of 1.6-3.2x flops on the q/k/v dots
+    (which are small next to the S^2 attention). Opt-in experiment:
+    DMOE_PAD_PROJ=1, exact math either way (zeros contribute zero)."""
+    query_dim: int
+    heads: int
+    d_pad: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.query_dim // self.heads
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.query_dim), jnp.float32)
+        k3 = jnp.pad(kernel.reshape(x.shape[-1], self.heads, d),
+                     ((0, 0), (0, 0), (0, self.d_pad - d))).astype(self.dtype)
+        y = jax.lax.dot_general(
+            x, k3.reshape(x.shape[-1], self.heads * self.d_pad),
+            (((x.ndim - 1,), (0,)), ((), ())))
+        y = y.reshape(*x.shape[:-1], self.heads, self.d_pad)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.query_dim,), jnp.float32)
+            b3 = jnp.pad(bias.reshape(self.heads, d),
+                         ((0, 0), (0, self.d_pad - d)))
+            y = y + b3.astype(self.dtype)
+        return y
+
+
 class _DGOutProj(nn.Module):
     """Output projection consuming the 4D (B, S, heads, d) attention output via
     one `dot_general` contracting (heads, d) — param-compatible with
@@ -60,12 +96,18 @@ class _DGOutProj(nn.Module):
 
     @nn.compact
     def __call__(self, out4):
-        b, s, h, d = out4.shape
+        b, s, h, d_in = out4.shape
+        d = self.features // h      # param head dim (to_out is square C -> C)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (h * d, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        k3 = kernel.reshape(h, d, self.features).astype(self.dtype)
+        k3 = kernel.reshape(h, d, self.features)
+        if d_in != d:
+            # padded-head-dim input (_PadHeadProj mode): the pad rows multiply
+            # the attention output's zero pad columns — exact either way
+            k3 = jnp.pad(k3, ((0, 0), (0, d_in - d), (0, 0)))
+        k3 = k3.astype(self.dtype)
         y = jax.lax.dot_general(out4, k3, (((2, 3), (0, 1)), ((), ())))
         return y + bias.astype(self.dtype)
 
@@ -86,9 +128,37 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        import os
         is_self = context is None
         context = x if context is None else context
         head_dim = self.query_dim // self.heads
+
+        from diffusion_models_moe_tpu.ops.flash import (attention_dispatch,
+                                                        use_flash)
+        d_pad = max(128, ((head_dim + 127) // 128) * 128)
+        # DMOE_PAD_PROJ=1: fold the flash head-dim pad into the q/k/v weights
+        # (see _PadHeadProj) — only where the stock flash path will run.
+        if (os.environ.get("DMOE_PAD_PROJ", "0") == "1" and is_self
+                and not self.quant and d_pad != head_dim
+                and os.environ.get("DMOE_FLASH_IMPL", "jax") == "jax"
+                and use_flash(x.shape[1], context.shape[1], self.flash)):
+            q4 = _PadHeadProj(self.query_dim, self.heads, d_pad,
+                              use_bias=self.qkv_bias, dtype=self.dtype,
+                              name="to_q")(x)
+            k4 = _PadHeadProj(self.query_dim, self.heads, d_pad,
+                              use_bias=self.qkv_bias, dtype=self.dtype,
+                              name="to_k")(context)
+            v4 = _PadHeadProj(self.query_dim, self.heads, d_pad,
+                              use_bias=self.qkv_bias, dtype=self.dtype,
+                              name="to_v")(context)
+            out = attention_dispatch(q4, k4, v4, is_self=True,
+                                     sm_scale=1.0 / (head_dim ** 0.5),
+                                     kv_valid=context.shape[1],
+                                     enabled=self.flash)
+            # _DGOutProj handles the padded head dim (zero kernel rows)
+            return _DGOutProj(self.query_dim, dtype=self.dtype,
+                              name="to_out")(out)
+
         q = make_dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
                        quant=self.quant, name="to_q")(x)
         k = make_dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -99,13 +169,11 @@ class Attention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim)
 
-        from diffusion_models_moe_tpu.ops.flash import attention_dispatch
         out = attention_dispatch(split(q), split(k), split(v),
                                  is_self=is_self,
                                  sm_scale=1.0 / (head_dim ** 0.5),
                                  kv_valid=context.shape[1],
                                  enabled=self.flash)
-        import os
         dg_default = "1" if jax.default_backend() == "tpu" else "0"
         if os.environ.get("DMOE_ATTN_DG", dg_default) == "1" and not self.quant:
             return _DGOutProj(self.query_dim, dtype=self.dtype,

@@ -201,7 +201,9 @@ def attention_dispatch(q, k, v, *, is_self: bool, sm_scale: float,
             return flash_self_attention(q, k, v, sm_scale)
         if not is_self and impl in ("custom", "custom-cross"):
             return sd_cross_attention(q, k, v, sm_scale, kv_valid)
-    return jax.nn.dot_product_attention(q, k, v)
+    # explicit scale: with DMOE_PAD_PROJ the head dim is padded, so the
+    # default 1/sqrt(q.shape[-1]) would be wrong
+    return jax.nn.dot_product_attention(q, k, v, scale=sm_scale)
 
 
 def use_flash(q_seq: int, kv_seq: int, enabled: bool) -> bool:

@@ -7,7 +7,8 @@ The v5e MXU runs int8 at 2x the bf16 rate; measured through this stack
     conv 32x32x640  : 1.49x    dot 16384x640x2560 : 1.73x
     conv 16x16x1280 : 1.97x    dot 4096x1280x5120 : 1.08x
 
-Scheme: dynamic activation scales (per-token for dots, per-tensor for convs)
+Scheme: dynamic activation scales (per-token for dots, per-sample for convs —
+no reduction ever crosses a batch row, so co-batched requests cannot couple)
 + per-output-channel weight scales, symmetric (zero-point 0, so zero padding
 stays exact), int32 accumulation, dequant in f32. Weight quantization is loop-invariant in the
 denoise scan, so XLA hoists it out of the 50-step loop (verified via profile).
@@ -62,14 +63,24 @@ def int8_dot(x: jax.Array, w: jax.Array, out_dtype=None,
 
 
 def int8_conv(x: jax.Array, w: jax.Array, strides=(1, 1), padding="SAME",
-              out_dtype=None) -> jax.Array:
+              out_dtype=None, per_sample: bool = True) -> jax.Array:
     """NHWC x (B,H,W,Cin) * HWIO w (kh,kw,Cin,Cout) int8 convolution.
 
     Per-output-channel weight scales (absmax over kh,kw,Cin); zero padding is
-    exact under the symmetric scheme."""
+    exact under the symmetric scheme. Activation scales are per-SAMPLE (absmax
+    over H,W,Cin per batch row — a conv never mixes batch elements, so with
+    per-token dot scales this makes the whole int8 UNet free of co-batching
+    coupling: each request's output depends only on its own data, restoring
+    the serving determinism contract for quantized serving too).
+    `per_sample=False` falls back to one per-tensor scale."""
     out_dtype = out_dtype or x.dtype
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    sx = _act_scale(x)
+    if per_sample:
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+            .astype(jnp.float32), _EPS) / 127.0          # (B, 1, 1, 1)
+    else:
+        sx = _act_scale(x)
     sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)).astype(jnp.float32),
                      _EPS) / 127.0                       # (Cout,)
     y = lax.conv_general_dilated(

@@ -19,9 +19,10 @@ Interventions (moefied routing, erasure masks) and a dp/tp mesh pass straight
 through to `generate`, so a moefied or concept-erased model serves exactly like
 a plain one.
 
-Caveat: the int8 serving mode (`UNetConfig.quant_int8`) uses dynamic
-activation scales, so co-batched requests weakly couple through the shared
-scale — the determinism contract above holds exactly only on the bf16 path.
+The int8 serving mode (`UNetConfig.quant_int8`) uses per-token (dots) and
+per-sample (convs) dynamic activation scales — no reduction crosses a batch
+row — so within one fixed-shape executable the determinism contract holds for
+quantized serving too (tests/test_quant.py co-batching test).
 
 Usage:
     eng = ServingEngine(pipe, params, tokenize, batch_size=8, num_steps=50)

@@ -266,6 +266,46 @@ def test_dg_out_projection_matches_dense(monkeypatch):
                                atol=1e-6, rtol=1e-6)
 
 
+def test_pad_proj_attention_matches_plain(monkeypatch):
+    """DMOE_PAD_PROJ=1 (head-dim pad folded into q/k/v weights, _PadHeadProj)
+    is numerically equal to the plain path with the same params: padded kernel
+    columns are zeros, so logits/outputs are unchanged; _DGOutProj's zero pad
+    rows ignore the padded output columns."""
+    from diffusion_models_moe_tpu.models import attention as attn_mod
+    from diffusion_models_moe_tpu.ops import flash as flash_mod
+    attn = attn_mod.Attention(query_dim=64, heads=4, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64), jnp.float32)
+    monkeypatch.delenv("DMOE_PAD_PROJ", raising=False)
+    params = attn.init(jax.random.PRNGKey(1), x)
+    y0 = attn.apply(params, x)
+    # force the pad-proj branch on CPU: pretend the flash path would be taken
+    # (dispatch falls back to SDPA, which is exact on padded inputs)
+    monkeypatch.setattr(flash_mod, "use_flash", lambda *a: True)
+    monkeypatch.setenv("DMOE_PAD_PROJ", "1")
+    y1 = attn.apply(params, x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                attn.init(jax.random.PRNGKey(1), x)))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pad_head_proj_emits_zero_pad_columns():
+    """_PadHeadProj output beyond the real head dim is exactly zero and the
+    real columns equal the Dense projection (same 'kernel'/'bias' params)."""
+    from diffusion_models_moe_tpu.models.attention import _PadHeadProj
+    import flax.linen as nn
+    proj = _PadHeadProj(query_dim=64, heads=4, d_pad=128, use_bias=True,
+                        dtype=jnp.float32)
+    dense = nn.Dense(64, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(2).randn(3, 8, 64), jnp.float32)
+    params = proj.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(proj.apply(params, x))              # (3, 8, 4, 128)
+    ref = np.asarray(dense.apply(params, x)).reshape(3, 8, 4, 16)
+    np.testing.assert_allclose(y[..., :16], ref, atol=1e-6, rtol=1e-6)
+    assert (y[..., 16:] == 0).all()
+
+
 def test_conv_barrier_flag_is_semantics_preserving(monkeypatch):
     """The GN+SiLU->conv optimization barrier (TPU default) only affects
     fusion; outputs are identical with it forced on."""

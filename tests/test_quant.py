@@ -60,16 +60,42 @@ def test_int8_conv_exact_on_grid_matches_padded_float_conv():
     padding drift (stride 2 SAME pads (0,1), diffusers pads (1,1))."""
     kx, kw = jax.random.split(jax.random.PRNGKey(2))
     x = _grid(kx, (2, 8, 8, 6), 2.0)
+    x = x.at[:, 0, 0, 0].set(2.0)  # pin absmax per SAMPLE (per-sample scales)
     w = _grid(kw, (3, 3, 6, 4), 1.0)
     w = w.at[0, 0, 0, :].set(1.0)  # pin absmax per output channel
     for strides in [(1, 1), (2, 2)]:
-        got = int8_conv(x, w, strides=strides, padding=((1, 1), (1, 1)))
-        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        ref = jax.lax.conv_general_dilated(x, w, strides, ((1, 1), (1, 1)),
-                                           dimension_numbers=dn)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-4)
+        for per_sample in (True, False):
+            got = int8_conv(x, w, strides=strides, padding=((1, 1), (1, 1)),
+                            per_sample=per_sample)
+            dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            ref = jax.lax.conv_general_dilated(x, w, strides, ((1, 1), (1, 1)),
+                                               dimension_numbers=dn)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_int8_no_cobatching_coupling():
+    """Per-token dot scales and per-sample conv scales: a request's int8
+    output is identical whatever it is co-batched with (the serving
+    determinism contract, serving.py)."""
+    k = jax.random.PRNGKey(5)
+    ka, kb, kc, kw = jax.random.split(k, 4)
+    w = jax.random.normal(kw, (16, 8))
+    a = jax.random.normal(ka, (1, 16))
+    b = jax.random.normal(kb, (1, 16)) * 100.0   # would shift a shared scale
+    c = jax.random.normal(kc, (1, 16)) * 0.01
+    y_ab = np.asarray(int8_dot(jnp.concatenate([a, b]), w))[0]
+    y_ac = np.asarray(int8_dot(jnp.concatenate([a, c]), w))[0]
+    np.testing.assert_array_equal(y_ab, y_ac)
+
+    wc = jax.random.normal(kw, (3, 3, 4, 4))
+    a = jax.random.normal(ka, (1, 6, 6, 4))
+    b = jax.random.normal(kb, (1, 6, 6, 4)) * 100.0
+    c = jax.random.normal(kc, (1, 6, 6, 4)) * 0.01
+    y_ab = np.asarray(int8_conv(jnp.concatenate([a, b]), wc))[0]
+    y_ac = np.asarray(int8_conv(jnp.concatenate([a, c]), wc))[0]
+    np.testing.assert_array_equal(y_ab, y_ac)
 
 
 def test_quant_param_tree_unchanged_and_pipeline_runs():
