@@ -40,7 +40,8 @@ DMOE_XLA_OPTS=k=v;... (compiler options; xla_tpu_scoped_vmem_limit_kib=98304
 measured 1.0083 — slower, rejected), DMOE_FF_2D=1 (2D-flattened FF dots;
 1.0695 — no win, off), DMOE_QUANT=1 (int8 W8A8 serving mode),
 DMOE_WINOGRAD=1 (Winograd F(2x2,3x3) conv serving mode),
-DMOE_PAD_PROJ=1 (fold the flash head-dim pad into the q/k/v weights — exact).
+DMOE_PAD_PROJ=1 (fold the flash head-dim pad into the q/k/v weights — exact;
+combines with DMOE_QUANT=1, where the int8 twins keep it bit-exact too).
 """
 from __future__ import annotations
 

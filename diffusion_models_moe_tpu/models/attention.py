@@ -55,23 +55,34 @@ class _PadHeadProj(nn.Module):
     pad_bitcast copies at the flash boundary (profiled 345ms/generate,
     docs/profiling.md) at the cost of 1.6-3.2x flops on the q/k/v dots
     (which are small next to the S^2 attention). Opt-in experiment:
-    DMOE_PAD_PROJ=1, exact math either way (zeros contribute zero)."""
+    DMOE_PAD_PROJ=1, exact math either way (zeros contribute zero).
+
+    `quant=True` is the int8 serving-mode twin: the symmetric scheme has
+    zero-point 0, so the zero pad columns quantize to 0 and the int32
+    accumulation is bit-identical to the unpadded QuantDense path (per-token
+    activation scales ignore zero columns; per-output-channel weight scales
+    of the pad columns clamp to eps and quantize the zeros to 0)."""
     query_dim: int
     heads: int
     d_pad: int
     use_bias: bool = False
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         d = self.query_dim // self.heads
+        x = x.astype(self.dtype)    # match nn.Dense's promote_dtype input cast
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.query_dim), jnp.float32)
         k3 = jnp.pad(kernel.reshape(x.shape[-1], self.heads, d),
                      ((0, 0), (0, 0), (0, self.d_pad - d))).astype(self.dtype)
-        y = jax.lax.dot_general(
-            x, k3.reshape(x.shape[-1], self.heads * self.d_pad),
-            (((x.ndim - 1,), (0,)), ((), ())))
+        k2 = k3.reshape(x.shape[-1], self.heads * self.d_pad)
+        if self.quant:
+            from diffusion_models_moe_tpu.ops.quant import int8_dot
+            y = int8_dot(x, k2)
+        else:
+            y = jax.lax.dot_general(x, k2, (((x.ndim - 1,), (0,)), ((), ())))
         y = y.reshape(*x.shape[:-1], self.heads, self.d_pad)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
@@ -90,9 +101,15 @@ class _DGOutProj(nn.Module):
     around the flash custom-call's (B, heads, S, d) layout. Measured on v5e
     (headline bench): 1.0553 -> 1.0705 img/s, so it defaults ON on TPU;
     DMOE_ATTN_DG=0 restores the Dense path (bitwise-identical params, outputs
-    equal — tests/test_parallel_and_kernels.py)."""
+    equal — tests/test_parallel_and_kernels.py).
+
+    `quant=True` runs the contraction as the int8 W8A8 dot over the flattened
+    (heads*d_in) axis — bit-identical to the unpadded QuantDense out
+    projection (zero pad rows/columns are exact under the symmetric scheme,
+    see _PadHeadProj) while still skipping the pre-projection reshape."""
     features: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, out4):
@@ -108,7 +125,12 @@ class _DGOutProj(nn.Module):
             # the attention output's zero pad columns — exact either way
             k3 = jnp.pad(k3, ((0, 0), (0, d_in - d), (0, 0)))
         k3 = k3.astype(self.dtype)
-        y = jax.lax.dot_general(out4, k3, (((2, 3), (0, 1)), ((), ())))
+        if self.quant:
+            from diffusion_models_moe_tpu.ops.quant import int8_dot
+            y = int8_dot(out4.astype(self.dtype).reshape(b, s, h * d_in),
+                         k3.reshape(h * d_in, self.features))
+        else:
+            y = jax.lax.dot_general(out4, k3, (((2, 3), (0, 1)), ((), ())))
         return y + bias.astype(self.dtype)
 
 
@@ -134,30 +156,35 @@ class Attention(nn.Module):
         head_dim = self.query_dim // self.heads
 
         from diffusion_models_moe_tpu.ops.flash import (attention_dispatch,
+                                                        round_up_lanes,
                                                         use_flash)
-        d_pad = max(128, ((head_dim + 127) // 128) * 128)
+        d_pad = round_up_lanes(head_dim)
         # DMOE_PAD_PROJ=1: fold the flash head-dim pad into the q/k/v weights
-        # (see _PadHeadProj) — only where the stock flash path will run.
+        # (see _PadHeadProj) — only where the stock flash SELF path will run
+        # ("custom-cross" diverts only cross-attention, so it qualifies too;
+        # "custom"/"custom-self"/"splash" replace the self kernel and don't).
+        # With quant, the int8 twins keep the same bit-exact-pad guarantee.
         if (os.environ.get("DMOE_PAD_PROJ", "0") == "1" and is_self
-                and not self.quant and d_pad != head_dim
-                and os.environ.get("DMOE_FLASH_IMPL", "jax") == "jax"
+                and d_pad != head_dim
+                and os.environ.get("DMOE_FLASH_IMPL", "jax")
+                in ("jax", "custom-cross")
                 and use_flash(x.shape[1], context.shape[1], self.flash)):
             q4 = _PadHeadProj(self.query_dim, self.heads, d_pad,
                               use_bias=self.qkv_bias, dtype=self.dtype,
-                              name="to_q")(x)
+                              quant=self.quant, name="to_q")(x)
             k4 = _PadHeadProj(self.query_dim, self.heads, d_pad,
                               use_bias=self.qkv_bias, dtype=self.dtype,
-                              name="to_k")(context)
+                              quant=self.quant, name="to_k")(context)
             v4 = _PadHeadProj(self.query_dim, self.heads, d_pad,
                               use_bias=self.qkv_bias, dtype=self.dtype,
-                              name="to_v")(context)
+                              quant=self.quant, name="to_v")(context)
             out = attention_dispatch(q4, k4, v4, is_self=True,
                                      sm_scale=1.0 / (head_dim ** 0.5),
                                      kv_valid=context.shape[1],
                                      enabled=self.flash)
             # _DGOutProj handles the padded head dim (zero kernel rows)
             return _DGOutProj(self.query_dim, dtype=self.dtype,
-                              name="to_out")(out)
+                              quant=self.quant, name="to_out")(out)
 
         q = make_dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
                        quant=self.quant, name="to_q")(x)

@@ -93,13 +93,21 @@ def _block_sizes(q_seq: int, kv_seq: int):
     )
 
 
+def round_up_lanes(d: int) -> int:
+    """Round a (head/kv) dim up to the TPU lane width, minimum one full
+    128-lane tile — the single source of the flash kernels' pad rule (also
+    consumed by models/attention.py's DMOE_PAD_PROJ weight-folding, which
+    must agree with the kernel's pad exactly)."""
+    return max(128, ((d + 127) // 128) * 128)
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale",))
 def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          sm_scale: float) -> jax.Array:
     """q, k, v: (B, S, H, D) -> (B, S, H, D). Self-attention, no mask."""
     from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
     b, s, h, d = q.shape
-    d_pad = max(128, ((d + 127) // 128) * 128)
+    d_pad = round_up_lanes(d)
 
     if os.environ.get("DMOE_PALLAS_PAD", "0") == "1":
         def to_bhsd(x):
@@ -126,8 +134,8 @@ def flash_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                                                  flash_attention)
     b, s_q, h, d = q.shape
     kv_seq = k.shape[1]
-    d_pad = max(128, ((d + 127) // 128) * 128)
-    kv_pad = max(128, ((kv_seq + 127) // 128) * 128)
+    d_pad = round_up_lanes(d)
+    kv_pad = round_up_lanes(kv_seq)
 
     def pad_kv(x):
         x = _pad_head_dim(x, d_pad)

@@ -90,13 +90,57 @@ def transform_filter(w: jax.Array, tile: int = 2) -> jax.Array:
     return u.reshape((tile + 2) ** 2, *w.shape[2:])
 
 
+def _stack_budget_bytes() -> int:
+    """Peak-memory budget for the Winograd-domain tensors, in bytes.
+
+    DMOE_WINO_STACK_MB (default 512) bounds the f32 V/product tensors per
+    band; the band matmuls stay MXU-sized well below this (N >= B*tw per
+    band row). Without banding the a^2-way tile stack scales with
+    a^2*B*th*tw*C — multi-GB at VAE-decode resolutions (512^2 x C>=128)."""
+    import os
+    return int(float(os.environ.get("DMOE_WINO_STACK_MB", "512")) * 2**20)
+
+
+def _winograd_band(xp: jax.Array, u: jax.Array, bt, at, m: int, th: int,
+                   tw: int, dtype) -> jax.Array:
+    """One tile-row band: padded input rows (B, m*th+2, m*tw+2, Cin) ->
+    output (B, m*th, m*tw, Cout). Same math whether the image comes in as a
+    single band or many (per-tile independence => identical results)."""
+    a = m + 2
+    b, cin = xp.shape[0], xp.shape[-1]
+    cout = u.shape[-1]
+    # axa tile extraction as a^2 strided slices (stride m in each direction):
+    # d[r, s][:, i, j] = xp[:, m*i + r, m*j + s] — overlapping tiles, no gather.
+    rows = [xp[:, r:r + m * th:m] for r in range(a)]
+    d = jnp.stack([jnp.stack([rr[:, :, s:s + m * tw:m] for s in range(a)], 0)
+                   for rr in rows], 0)                   # (a, a, B, th, tw, C)
+
+    # Input transform V = B^T d B (small-constant combinations; fused by XLA).
+    v = jnp.einsum("xr,ys,rsbijc->xybijc", bt, bt, d)
+    v = v.reshape(a * a, b * th * tw, cin).astype(dtype)
+
+    # The a^2 Winograd-domain products as one batched MXU matmul.
+    prod = lax.dot_general(v, u, (((2,), (1,)), ((0,), (0,))),
+                           preferred_element_type=jnp.float32)  # (a^2, N, Cout)
+
+    # Output transform Y = A^T prod A, then tile reassembly.
+    prod = prod.reshape(a, a, b, th, tw, cout)
+    y = jnp.einsum("px,qy,xybijc->bipjqc", at, at, prod)  # (B, th, m, tw, m, C)
+    return y.reshape(b, m * th, m * tw, cout)
+
+
 def winograd_conv3x3(x: jax.Array, w: jax.Array, out_dtype=None,
                      tile: int | None = None) -> jax.Array:
     """NHWC stride-1 SAME 3x3 convolution via Winograd F(mxm, 3x3).
 
     `x` (B, H, W, Cin), `w` HWIO (3, 3, Cin, Cout). The (m+2)^2 per-position
     products run as one batched MXU matmul in x.dtype (f32 accumulation);
-    transforms in f32. Returns (B, H, W, Cout)."""
+    transforms in f32. The image is processed in tile-row bands sized by
+    DMOE_WINO_STACK_MB so the Winograd-domain intermediates stay bounded at
+    any resolution (the VAE decoder's 512^2 convs would otherwise build
+    multi-GB stacks); tiles are independent, so banding matches single-shot
+    to float rounding (XLA may reassociate the transform sums per band
+    shape). Returns (B, H, W, Cout)."""
     out_dtype = out_dtype or x.dtype
     m = tile if tile is not None else _tile()
     bt, _, at = _MATS[m]
@@ -109,27 +153,18 @@ def winograd_conv3x3(x: jax.Array, w: jax.Array, out_dtype=None,
     pad = ((0, 0), (1, m * th + 1 - h), (1, m * tw + 1 - wd), (0, 0))
     # Pad/tile in the input dtype: the a^2-way tile stack is the largest
     # intermediate (a^2/m^2 = 4x/2.25x the input elements); the transform
-    # einsum below promotes to f32 anyway (f32 bt), so upcasting here would
-    # only double its memory.
+    # einsum in _winograd_band promotes to f32 anyway (f32 bt), so upcasting
+    # here would only double its memory.
     xp = jnp.pad(x, pad)
-
-    # axa tile extraction as a^2 strided slices (stride m in each direction):
-    # d[r, s][:, i, j] = xp[:, m*i + r, m*j + s] — overlapping tiles, no gather.
-    rows = [xp[:, r:r + m * th:m] for r in range(a)]
-    d = jnp.stack([jnp.stack([rr[:, :, s:s + m * tw:m] for s in range(a)], 0)
-                   for rr in rows], 0)                   # (a, a, B, th, tw, C)
-
-    # Input transform V = B^T d B (small-constant combinations; fused by XLA).
-    v = jnp.einsum("xr,ys,rsbijc->xybijc", bt, bt, d)
-    v = v.reshape(a * a, b * th * tw, cin).astype(x.dtype)
-
-    # The a^2 Winograd-domain products as one batched MXU matmul.
     u = transform_filter(w, m).astype(x.dtype)           # (a^2, Cin, Cout)
-    prod = lax.dot_general(v, u, (((2,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32)  # (a^2, N, Cout)
 
-    # Output transform Y = A^T prod A, then tile reassembly + crop.
-    prod = prod.reshape(a, a, b, th, tw, cout)
-    y = jnp.einsum("px,qy,xybijc->bipjqc", at, at, prod)  # (B, th, m, tw, m, C)
-    y = y.reshape(b, m * th, m * tw, cout)[:, :h, :wd]
-    return y.astype(out_dtype)
+    # f32 V bytes per tile row (the product tensor is the same size with Cout).
+    band_bytes = a * a * b * tw * max(cin, cout) * 4
+    rows = max(1, min(th, _stack_budget_bytes() // band_bytes))
+    bands = []
+    for i0 in range(0, th, rows):
+        n = min(rows, th - i0)
+        xb = lax.slice_in_dim(xp, m * i0, m * (i0 + n) + (a - m), axis=1)
+        bands.append(_winograd_band(xb, u, bt, at, m, n, tw, x.dtype))
+    y = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=1)
+    return y[:, :h, :wd].astype(out_dtype)

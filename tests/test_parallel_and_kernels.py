@@ -266,14 +266,18 @@ def test_dg_out_projection_matches_dense(monkeypatch):
                                atol=1e-6, rtol=1e-6)
 
 
-def test_pad_proj_attention_matches_plain(monkeypatch):
+@pytest.mark.parametrize("quant", [False, True])
+def test_pad_proj_attention_matches_plain(monkeypatch, quant):
     """DMOE_PAD_PROJ=1 (head-dim pad folded into q/k/v weights, _PadHeadProj)
     is numerically equal to the plain path with the same params: padded kernel
     columns are zeros, so logits/outputs are unchanged; _DGOutProj's zero pad
-    rows ignore the padded output columns."""
+    rows ignore the padded output columns. Under the int8 serving mode the
+    guarantee is BIT-exact (symmetric zero-point-0 scheme: zero pads quantize
+    to 0 and integer accumulation is order-exact)."""
     from diffusion_models_moe_tpu.models import attention as attn_mod
     from diffusion_models_moe_tpu.ops import flash as flash_mod
-    attn = attn_mod.Attention(query_dim=64, heads=4, dtype=jnp.float32)
+    attn = attn_mod.Attention(query_dim=64, heads=4, dtype=jnp.float32,
+                              quant=quant)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64), jnp.float32)
     monkeypatch.delenv("DMOE_PAD_PROJ", raising=False)
     params = attn.init(jax.random.PRNGKey(1), x)
@@ -286,8 +290,11 @@ def test_pad_proj_attention_matches_plain(monkeypatch):
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(
                 attn.init(jax.random.PRNGKey(1), x)))
-    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
-                               atol=1e-5, rtol=1e-5)
+    if quant:
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    else:
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_pad_head_proj_emits_zero_pad_columns():

@@ -1,9 +1,11 @@
 """int8 W8A8 serving mode (ops/quant.py + quant_int8 flag).
 
-The scheme is symmetric round-to-nearest with per-tensor activation scales and
-per-output-channel weight scales; on grid-exact inputs the int8 path must equal
-the float path bit-for-bit (proves geometry/padding parity with the bf16
-layers), and on random inputs the error must stay at quantization scale."""
+The scheme is symmetric round-to-nearest with per-token (dots) / per-sample
+(convs) activation scales and per-output-channel weight scales — so no int8
+reduction couples batch rows and co-batched serving stays sample-exact. On
+grid-exact inputs the int8 path must equal the float path bit-for-bit (proves
+geometry/padding parity with the bf16 layers), and on random inputs the error
+must stay at quantization scale."""
 import dataclasses
 
 import jax

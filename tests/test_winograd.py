@@ -52,6 +52,31 @@ def test_winograd_bf16_error_at_rounding_scale(tile):
     assert rel < 0.03, rel   # bf16 rounding scale, not divergence
 
 
+@pytest.mark.parametrize("tile", [2, 4])
+def test_winograd_banding_is_exact(tile, monkeypatch):
+    """DMOE_WINO_STACK_MB bounds the Winograd-domain intermediates by
+    processing tile-row bands; tiles are independent, so a tiny budget
+    (every tile row its own band) must reproduce the single-shot result to
+    float rounding (XLA may reassociate the transform sums differently per
+    band shape; measured max drift ~5e-7 at f32) — this is what keeps the
+    VAE decoder's 512^2 convs from building multi-GB stacks without changing
+    serving outputs."""
+    kx, kw = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(kx, (2, 21, 13, 6), jnp.float32)
+    k = jax.random.normal(kw, (3, 3, 6, 9), jnp.float32) * 0.1
+    monkeypatch.setenv("DMOE_WINO_STACK_MB", "1e9")
+    single = np.asarray(winograd_conv3x3(x, k, tile=tile))
+    monkeypatch.setenv("DMOE_WINO_STACK_MB", "1e-6")
+    banded = np.asarray(winograd_conv3x3(x, k, tile=tile))
+    scale0 = np.abs(single).max() + 1e-9
+    np.testing.assert_allclose(banded / scale0, single / scale0, atol=2e-6)
+    # and both still match the direct convolution
+    ref = np.asarray(_direct(x, k))
+    scale = np.abs(ref).max() + 1e-9
+    np.testing.assert_allclose(banded / scale, ref / scale,
+                               atol=2e-6 if tile == 2 else 2e-5)
+
+
 def test_winograd_param_tree_unchanged_and_pipeline_tracks_direct():
     from diffusion_models_moe_tpu import StableDiffusionPipeline, tiny_config
     cfg = tiny_config()
