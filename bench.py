@@ -41,7 +41,10 @@ measured 1.0083 — slower, rejected), DMOE_FF_2D=1 (2D-flattened FF dots;
 1.0695 — no win, off), DMOE_QUANT=1 (int8 W8A8 serving mode),
 DMOE_WINOGRAD=1 (Winograd F(2x2,3x3) conv serving mode),
 DMOE_PAD_PROJ=1 (fold the flash head-dim pad into the q/k/v weights — exact;
-combines with DMOE_QUANT=1, where the int8 twins keep it bit-exact too).
+combines with DMOE_QUANT=1, where the int8 twins keep it bit-exact too),
+DMOE_BENCH_MODE=lcm-sdxl (moefied SDXL-LCM @ 4 steps, batch 2 — the
+reference's few-step operating point, BASELINE.md "LCM: 4 steps"; reports
+no vs_baseline multiple since the 0.25 estimate is SD1.5-specific).
 """
 from __future__ import annotations
 
@@ -112,10 +115,22 @@ def _probe() -> None:
          f"backend={jax.default_backend()}")
 
 
-def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
+def main(batch: int | None = None, steps: int | None = None,
+         runs: int = 3) -> None:
     from diffusion_models_moe_tpu import StableDiffusionPipeline, sd15_config
+    from diffusion_models_moe_tpu.config import sdxl_config
     from diffusion_models_moe_tpu.moefication.moefy import build_moe_interventions
     from diffusion_models_moe_tpu.taps import layer_name
+
+    # DMOE_BENCH_MODE=lcm-sdxl: the reference's other serving operating point
+    # (LCM-SDXL, 4 steps — BASELINE.md "LCM: 4 steps" row). Default stays the
+    # 50-step SD1.5 headline (what the driver records).
+    mode = os.environ.get("DMOE_BENCH_MODE", "sd15")
+    if mode not in ("sd15", "lcm-sdxl"):
+        raise ValueError(f"DMOE_BENCH_MODE must be sd15|lcm-sdxl, got {mode}")
+    lcm = mode == "lcm-sdxl"
+    batch = batch or (2 if lcm else 8)
+    steps = steps or (4 if lcm else 50)
 
     _init_watchdog()
     _probe()
@@ -125,7 +140,8 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
     fallback_leg = os.environ.get("DMOE_BENCH_LEG", "")
     flash = os.environ.get("DMOE_FLASH", "1") == "1"
     os.environ.setdefault("DMOE_FLASH_BLOCKS", "1024,1024")
-    cfg = sd15_config(dtype=jnp.bfloat16)
+    cfg = (sdxl_config(dtype=jnp.bfloat16, lcm=True) if lcm
+           else sd15_config(dtype=jnp.bfloat16))
     unet = dataclasses.replace(cfg.unet, flash_attention=flash)
     if os.environ.get("DMOE_FUSED", "") in ("0", "1"):
         unet = dataclasses.replace(
@@ -148,7 +164,11 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
         # runs once per image so this mostly matters at few-step serving).
         cfg = dataclasses.replace(cfg, vae=dataclasses.replace(
             cfg.vae, quant_int8=quant, conv_winograd=wino))
-    pipe = StableDiffusionPipeline(cfg)
+    if lcm:
+        from diffusion_models_moe_tpu.pipelines.sdxl import SDXLPipeline
+        pipe = SDXLPipeline(cfg)
+    else:
+        pipe = StableDiffusionPipeline(cfg)
     t_p = time.perf_counter()
     params = jax.block_until_ready(pipe.init_params(jax.random.PRNGKey(0)))
     _log(f"# init_params {time.perf_counter()-t_p:.1f}s (flash={flash})")
@@ -217,12 +237,17 @@ def main(batch: int = 8, steps: int = 50, runs: int = 3) -> None:
         variant += f" winograd-m{os.environ.get('DMOE_WINO_TILE', '2')}"
     if hook_sim:
         variant += " hook-sim"
+    model_name = "SDXL-LCM" if lcm else "SD1.5"
     out = {
-        "metric": f"moefied SD1.5{variant} images/sec/chip @ {steps} steps "
-                  f"(batch {batch})",
+        "metric": f"moefied {model_name}{variant} images/sec/chip @ {steps} "
+                  f"steps (batch {batch})",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec",
-        "vs_baseline": round(imgs_per_sec / REFERENCE_HOOKED_IMGS_PER_SEC, 2),
+        # the 0.25 estimate is for the reference's hooked 50-step SD1.5 loop;
+        # there is no comparable estimate for LCM-SDXL (reference publishes
+        # nothing) so the LCM mode reports no multiple.
+        "vs_baseline": 0.0 if lcm else
+        round(imgs_per_sec / REFERENCE_HOOKED_IMGS_PER_SEC, 2),
     }
     if degraded:
         out["degraded"] = True

@@ -11,7 +11,7 @@ from diffusion_models_moe_tpu.pipelines.sdxl import SDXLPipeline
 from diffusion_models_moe_tpu.taps import TapSpec
 
 
-def _tiny_sdxl():
+def _tiny_sdxl(lcm: bool = False):
     unet = UNetConfig(
         block_out_channels=(16, 32, 64),
         down_block_types=("plain", "cross", "cross"),
@@ -22,6 +22,7 @@ def _tiny_sdxl():
         norm_num_groups=8,
         addition_embed_dim=32,
         addition_time_embed_dim=8,
+        time_cond_proj_dim=8 if lcm else 0,
     )
     tc1 = CLIPTextConfig(vocab_size=100, hidden_size=16, intermediate_size=32,
                          num_layers=2, num_heads=2, max_length=8)
@@ -31,7 +32,7 @@ def _tiny_sdxl():
     cfg = PipelineConfig(unet=unet,
                          vae=VAEConfig(block_out_channels=(16, 16, 32, 32),
                                        norm_num_groups=8, layers_per_block=1),
-                         sample_size=16, scheduler="euler",
+                         sample_size=16, scheduler="lcm" if lcm else "euler",
                          num_inference_steps=2)
     return SDXLPipeline(cfg, text_configs=(tc1, tc2))
 
@@ -68,6 +69,32 @@ def test_sdxl_dp_tp_generate_parity():
     mesh = create_mesh(8, dp=2, tp=4)
     img1, _ = pipe.generate(params, cond, uncond, key, num_steps=2, mesh=mesh)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_sdxl_lcm_moefied_generate():
+    """SDXL + LCM scheduler + distilled-guidance embedding + MoE routing in
+    one generate — the exact combination bench.py's DMOE_BENCH_MODE=lcm-sdxl
+    measures (reference loads LCM-SDXL: utils.py:64-138, 4-step operating
+    point). Per-sample seeds must keep the serving determinism contract."""
+    from diffusion_models_moe_tpu.moefication.moefy import (
+        build_moe_interventions, moefy_unet)
+
+    pipe = _tiny_sdxl(lcm=True)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    labels = moefy_unet(params["unet"], pipe.config.unet, expert_size=8,
+                        method="greedy")
+    ivs = build_moe_interventions(labels, topk_ratio=0.5)
+    cond = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 100)
+    uncond = jnp.zeros_like(cond)
+    img, _ = pipe.generate(params, cond, uncond, jax.random.PRNGKey(2),
+                           num_steps=2, ivs=ivs, seeds=jnp.asarray([5, 9]))
+    assert img.shape == (2, 128, 128, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+    # per-request determinism: sample 1 alone (same seed) == sample 1 co-batched
+    solo, _ = pipe.generate(params, cond[1:], uncond[1:], jax.random.PRNGKey(2),
+                            num_steps=2, ivs=ivs, seeds=jnp.asarray([9]))
+    np.testing.assert_allclose(np.asarray(solo[0]), np.asarray(img[1]),
                                atol=2e-5, rtol=1e-5)
 
 
