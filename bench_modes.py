@@ -1,0 +1,107 @@
+"""Serialized serving-mode benchmark matrix.
+
+Runs `bench.py` once per serving mode in a FRESH process each (axon-tunnel
+rule: one heavy TPU job at a time; a crashed worker can poison an in-process
+backend), collects the one-line JSONs, writes `bench_modes.json`, and prints
+a markdown table. Modes (see bench.py docstring for the knobs):
+
+  plain          bf16, exact headline (what the driver records)
+  pad_proj       + head-dim pad folded into q/k/v weights (exact)
+  wino2 / wino4  Winograd F(2x2)/F(4x4) conv serving modes
+  int8           W8A8 serving mode (per-token/per-sample scales)
+  combinations   int8 x winograd x pad_proj
+  lcm_sdxl       moefied SDXL-LCM @ 4 steps (DMOE_BENCH_MODE=lcm-sdxl)
+
+Aborts the queue on an init hang (a wedged tunnel would hang every leg the
+same way — memory/ops note in bench.py). Usage:
+
+  python bench_modes.py            # all modes
+  python bench_modes.py plain int8 # a subset
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+MODES: dict[str, dict[str, str]] = {
+    "plain": {},
+    "pad_proj": {"DMOE_PAD_PROJ": "1"},
+    "wino2": {"DMOE_WINOGRAD": "1"},
+    "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4"},
+    "wino2_pad": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
+    "int8": {"DMOE_QUANT": "1"},
+    "int8_wino2": {"DMOE_QUANT": "1", "DMOE_WINOGRAD": "1"},
+    "int8_pad": {"DMOE_QUANT": "1", "DMOE_PAD_PROJ": "1"},
+    "int8_wino2_pad": {"DMOE_QUANT": "1", "DMOE_WINOGRAD": "1",
+                       "DMOE_PAD_PROJ": "1"},
+    "lcm_sdxl": {"DMOE_BENCH_MODE": "lcm-sdxl"},
+    "lcm_sdxl_serve": {"DMOE_BENCH_MODE": "lcm-sdxl", "DMOE_QUANT": "1",
+                       "DMOE_WINOGRAD": "1"},
+}
+
+
+def run_leg(name: str, extra_env: dict[str, str],
+            timeout_s: float) -> dict:
+    env = dict(os.environ, **extra_env)
+    env.setdefault("DMOE_INIT_TIMEOUT", "2000")
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench.py")],
+            env=env, timeout=timeout_s, capture_output=True, text=True)
+        rc, stdout, stderr = r.returncode, r.stdout, r.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = -1
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        stderr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) \
+            else (e.stderr or "")
+    parsed = None
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    return {"leg": name, "rc": rc, "result": parsed,
+            "wall_s": round(time.perf_counter() - t0, 1),
+            "init_hang": "InitHang" in stderr + stdout}
+
+
+def main(argv: list[str]) -> int:
+    names = argv or list(MODES)
+    unknown = [n for n in names if n not in MODES]
+    if unknown:
+        print(f"unknown modes {unknown}; known: {list(MODES)}",
+              file=sys.stderr)
+        return 2
+    timeout_s = float(os.environ.get("DMOE_LEG_TIMEOUT", "3600"))
+    out_path = os.environ.get("DMOE_MODES_OUT", "bench_modes.json")
+    results = []
+    for name in names:
+        print(f"# leg {name} ...", file=sys.stderr, flush=True)
+        res = run_leg(name, MODES[name], timeout_s)
+        results.append(res)
+        with open(out_path, "w") as f:          # partial results survive kills
+            json.dump(results, f, indent=1)
+        print(f"# leg {name}: rc={res['rc']} {res['result']}",
+              file=sys.stderr, flush=True)
+        if res["init_hang"]:
+            print("# init hang (wedged tunnel) — aborting remaining legs",
+                  file=sys.stderr)
+            break
+    print("| leg | img/s | metric |\n|---|---|---|")
+    for r in results:
+        v = r["result"] or {}
+        metric = v.get("metric", "rc=%d" % r["rc"])
+        print(f"| {r['leg']} | {v.get('value', '—')} | {metric} |")
+    return 0 if all(r["rc"] == 0 for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
