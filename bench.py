@@ -69,6 +69,13 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _dp_devices(batch: int, avail: int) -> int:
+    """Largest divisor of `batch` that fits the available devices — dp must
+    divide the batch (lcm-sdxl defaults to batch 2, which an 8-device mesh
+    cannot shard)."""
+    return max(d for d in range(1, avail + 1) if batch % d == 0)
+
+
 class InitHang(RuntimeError):
     """Backend init did not complete — wedged TPU tunnel (axon init can HANG
     rather than error; observed 2026-08-18 after killed clients)."""
@@ -129,8 +136,12 @@ def main(batch: int | None = None, steps: int | None = None,
     if mode not in ("sd15", "lcm-sdxl"):
         raise ValueError(f"DMOE_BENCH_MODE must be sd15|lcm-sdxl, got {mode}")
     lcm = mode == "lcm-sdxl"
-    batch = batch or (2 if lcm else 8)
-    steps = steps or (4 if lcm else 50)
+    # `is None` (not `or`): an explicit 0 from the CLI must error below, not
+    # silently benchmark the default shape under the requested label.
+    batch = (2 if lcm else 8) if batch is None else batch
+    steps = (4 if lcm else 50) if steps is None else steps
+    if batch < 1 or steps < 1:
+        raise ValueError(f"batch/steps must be >=1, got {batch}/{steps}")
 
     _init_watchdog()
     _probe()
@@ -204,9 +215,15 @@ def main(batch: int | None = None, steps: int | None = None,
     n_dev = 1
     if os.environ.get("DMOE_DP", "0") == "1" and len(jax.devices()) > 1:
         from diffusion_models_moe_tpu.parallel.mesh import create_mesh
-        n_dev = len(jax.devices())
-        mesh = create_mesh(n_dev, dp=n_dev, tp=1)
-        _log(f"# dp mesh over {n_dev} devices")
+        avail = len(jax.devices())
+        n_dev = _dp_devices(batch, avail)
+        if n_dev > 1:
+            mesh = create_mesh(n_dev, dp=n_dev, tp=1)
+            _log(f"# dp mesh over {n_dev} of {avail} devices (batch {batch})")
+        else:
+            n_dev = 1
+            _log(f"# DMOE_DP=1 ignored: batch {batch} has no divisor <= "
+                 f"{avail} other than 1")
 
     # Execution must be forced by a host fetch (through remote-device tunnels
     # block_until_ready can return before execution finishes), but fetching
@@ -301,8 +318,13 @@ if __name__ == "__main__":
                 and os.environ.get("DMOE_BENCH_FALLBACK", "0") != "1":
             rc = _fallback(sys.argv[1:], e)
         if rc != 0:
+            # label the failure with the mode actually requested, or a
+            # bench_modes lcm leg's failure would be tabulated as SD1.5
+            failed_model = ("SDXL-LCM @ 4 steps"
+                            if os.environ.get("DMOE_BENCH_MODE") == "lcm-sdxl"
+                            else "SD1.5 @ 50 steps")
             print(json.dumps({
-                "metric": "moefied SD1.5 images/sec/chip @ 50 steps",
+                "metric": f"moefied {failed_model} images/sec/chip",
                 "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
                 "degraded": True, "error": f"{type(e).__name__}: {str(e)[:300]}",
             }), flush=True)

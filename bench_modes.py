@@ -26,6 +26,12 @@ import subprocess
 import sys
 import time
 
+# Every knob any mode sets. Each leg RESETS all of these to its own values —
+# a DMOE_QUANT=1 left exported in the caller's shell must not silently turn
+# the 'plain' leg into int8 while the table still labels it 'plain'.
+KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_PAD_PROJ",
+         "DMOE_BENCH_MODE")
+
 MODES: dict[str, dict[str, str]] = {
     "plain": {},
     "pad_proj": {"DMOE_PAD_PROJ": "1"},
@@ -43,24 +49,38 @@ MODES: dict[str, dict[str, str]] = {
 }
 
 
+def leg_env(extra_env: dict[str, str]) -> dict[str, str]:
+    env = {k: v for k, v in os.environ.items() if k not in KNOBS}
+    env.update(extra_env)
+    env.setdefault("DMOE_INIT_TIMEOUT", "2000")
+    return env
+
+
 def run_leg(name: str, extra_env: dict[str, str],
             timeout_s: float) -> dict:
-    env = dict(os.environ, **extra_env)
-    env.setdefault("DMOE_INIT_TIMEOUT", "2000")
+    env = leg_env(extra_env)
     t0 = time.perf_counter()
+    # start_new_session + killpg: bench.py's fallback chain spawns fresh-
+    # process legs of its own; killing only the direct child on timeout would
+    # orphan a grandchild still running a heavy TPU job CONCURRENTLY with the
+    # next leg (the one-job-at-a-time tunnel rule this module exists for).
+    proc = subprocess.Popen(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, start_new_session=True)
     try:
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench.py")],
-            env=env, timeout=timeout_s, capture_output=True, text=True)
-        rc, stdout, stderr = r.returncode, r.stdout, r.stderr
-    except subprocess.TimeoutExpired as e:
+        stdout, stderr = proc.communicate(timeout=timeout_s)
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        import signal
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        stdout, stderr = proc.communicate()
         rc = -1
-        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-            else (e.stdout or "")
-        stderr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) \
-            else (e.stderr or "")
     parsed = None
     for line in reversed(stdout.strip().splitlines()):
         try:
@@ -80,7 +100,10 @@ def main(argv: list[str]) -> int:
         print(f"unknown modes {unknown}; known: {list(MODES)}",
               file=sys.stderr)
         return 2
-    timeout_s = float(os.environ.get("DMOE_LEG_TIMEOUT", "3600"))
+    # default must exceed bench.py's own worst case (primary attempt + two
+    # 3000s fresh-process fallback legs), or a leg mid-recovery is killed
+    # and recorded rc=-1 although its 512-block retry would have succeeded
+    timeout_s = float(os.environ.get("DMOE_LEG_TIMEOUT", "8000"))
     out_path = os.environ.get("DMOE_MODES_OUT", "bench_modes.json")
     results = []
     for name in names:

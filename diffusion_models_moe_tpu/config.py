@@ -217,6 +217,10 @@ def sdxl_config(dtype=jnp.bfloat16, lcm: bool = False) -> PipelineConfig:
             addition_time_embed_dim=256,
             time_cond_proj_dim=256 if lcm else 0,
             dtype=dtype),
+        # VAE follows the pipeline dtype like sd15_config — the decode is the
+        # dominant cost of few-step (LCM) serving, so an f32 VAE would halve
+        # the MXU rate of exactly the stage that matters at this preset.
+        vae=VAEConfig(dtype=dtype),
         sample_size=128,
         scheduler="lcm" if lcm else "euler",
         num_inference_steps=4 if lcm else 50,

@@ -1,0 +1,54 @@
+"""Pure-python bench harness helpers (no TPU, no backend init).
+
+bench.py / bench_modes.py are the driver-facing perf evidence; these tests pin
+the harness logic that review found could silently corrupt the matrix:
+knob leakage into the 'plain' leg, dp meshes that can't shard the batch,
+and `or`-defaults swallowing explicit zeros.
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+import bench_modes  # noqa: E402
+
+
+def test_dp_devices_divides_batch():
+    assert bench._dp_devices(8, 8) == 8
+    assert bench._dp_devices(2, 8) == 2      # lcm-sdxl default batch
+    assert bench._dp_devices(3, 8) == 3
+    assert bench._dp_devices(7, 4) == 1      # prime > avail -> no sharding
+    assert bench._dp_devices(12, 8) == 6
+
+
+def test_leg_env_resets_foreign_knobs(monkeypatch):
+    """A DMOE_QUANT=1 left exported in the shell must not leak into the
+    'plain' leg (the matrix would label an int8 run 'plain')."""
+    monkeypatch.setenv("DMOE_QUANT", "1")
+    monkeypatch.setenv("DMOE_BENCH_MODE", "lcm-sdxl")
+    monkeypatch.setenv("DMOE_FLASH_BLOCKS", "512,512")  # not a mode knob
+    env = bench_modes.leg_env(bench_modes.MODES["plain"])
+    assert "DMOE_QUANT" not in env
+    assert "DMOE_BENCH_MODE" not in env
+    assert env["DMOE_FLASH_BLOCKS"] == "512,512"         # non-knobs pass through
+    env = bench_modes.leg_env(bench_modes.MODES["int8_wino2_pad"])
+    assert (env["DMOE_QUANT"], env["DMOE_WINOGRAD"], env["DMOE_PAD_PROJ"]) \
+        == ("1", "1", "1")
+    assert "DMOE_BENCH_MODE" not in env                  # reset, not inherited
+
+
+def test_every_mode_knob_is_in_reset_set():
+    """Any knob ANY mode sets must be in KNOBS, or adding a mode silently
+    reintroduces cross-leg leakage."""
+    for name, extra in bench_modes.MODES.items():
+        for k in extra:
+            assert k in bench_modes.KNOBS, (name, k)
+
+
+def test_bench_rejects_zero_batch_and_steps():
+    for kwargs in ({"batch": 0}, {"steps": 0}):
+        with pytest.raises(ValueError):
+            bench.main(**kwargs)

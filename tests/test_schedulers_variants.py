@@ -200,6 +200,11 @@ def test_sdxl_config_preset():
     # SDXL: down 2x2 + 2x10 = 24; mid 10; up 3x10 + 3x2 = 36 -> 70 GEGLU FFs
     assert cfg.unet.n_ff_layers == 70
     assert cfg.unet.heads_for_block(2) == 20
+    # VAE follows the pipeline dtype (the decode dominates few-step LCM
+    # serving; an f32 VAE would distort exactly that benchmark)
+    assert cfg.vae.dtype == cfg.unet.dtype
+    import jax.numpy as jnp
+    assert sdxl_config(dtype=jnp.float32).vae.dtype == jnp.float32
 
 
 def test_lcm_boundary_scalings_match_diffusers():
