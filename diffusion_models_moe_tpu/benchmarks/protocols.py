@@ -5,6 +5,8 @@ These tie together what the reference runs as separate argparse scripts:
   i2p_protocol          <- benchmarks/i2p_eval.py:105-258
   memorization_protocol <- benchmarks/inference_mem.py:136-168
   artist_removal_protocol <- benchmarks/artist_removal.py:93-215
+  clip_sim_confidence_sweep <- modularity/clip_sim_score.py:17-106
+(the style-classifier variant lives in benchmarks/art_removal.py)
 Prompt data are the reference's own files (data/datasets/, copied verbatim);
 judges (NudeNet / SSCD / CLIP-vision featurizer) are injected callables per the
 framework's no-network judge convention.
@@ -188,6 +190,70 @@ def artist_removal_protocol(pipe, params, tokenize, out_dir: str,
               "n_artists": len(prompts)}
     with open(os.path.join(out_dir, "artist_removal_results.json"), "w") as f:
         json.dump(result, f)
+    return result
+
+
+def clip_sim_confidence_sweep(root_template: str,
+                              base_prompts: Sequence[str],
+                              image_featurize: Callable,
+                              text_featurize: Callable,
+                              adjective: str,
+                              conf_int: Sequence[float] = (0.2, 0.1, 0.05,
+                                                           0.02, 0.01, 0.001),
+                              image_name: str = "img_{i}_adj.jpg",
+                              dof: Optional[int] = None,
+                              out_path: Optional[str] = None) -> dict:
+    """Per-confidence-interval CLIP similarity sweep over t-test removal runs
+    (reference: modularity/clip_sim_score.py:17-106): for each confidence
+    level's `remove_neurons` output directory (root_template %
+    f"dof_{dof}_conf_{conf}"), score every image against its own base prompt
+    and against "a painting in the style of {adjective}". The base-prompt
+    similarity should HOLD as conf tightens (fewer neurons removed) while the
+    adjective similarity should DROP at the chosen operating point.
+
+    conf_int defaults to the reference's dof_critical_values.csv columns.
+    Returns {"per_prompt": {i: {conf: sim}}, "per_prompt_adj": ...,
+    "mean": {conf: m}, "mean_adj": {conf: m}}.
+    """
+    from PIL import Image
+
+    def l2n(x):
+        x = np.asarray(x, np.float64)
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                              1e-12)
+
+    if dof is None:
+        dof = len(base_prompts) - 1
+    base_embs = l2n(text_featurize(list(base_prompts)))
+    adj_emb = l2n(text_featurize(
+        [f"a painting in the style of {adjective}"]))[0]
+    scores: dict = {i: {} for i in range(len(base_prompts))}
+    scores_adj: dict = {i: {} for i in range(len(base_prompts))}
+    means, means_adj = {}, {}
+    for conf in conf_int:
+        root = root_template % f"dof_{dof}_conf_{conf}"
+        imgs = np.stack([
+            np.asarray(Image.open(os.path.join(root,
+                                               image_name.format(i=i))),
+                       np.float32) / 255.0
+            for i in range(len(base_prompts))])
+        img_embs = l2n(image_featurize(imgs))
+        sim = np.sum(base_embs * img_embs, axis=-1)
+        sim_adj = img_embs @ adj_emb
+        for i in range(len(base_prompts)):
+            scores[i][conf] = float(sim[i])
+            scores_adj[i][conf] = float(sim_adj[i])
+        means[conf] = float(sim.mean())
+        means_adj[conf] = float(sim_adj.mean())
+    result = {"per_prompt": scores, "per_prompt_adj": scores_adj,
+              "mean": means, "mean_adj": means_adj}
+    if out_path is not None:
+        with open(out_path, "w") as f:
+            json.dump({k: ({str(i): {str(c): x for c, x in d.items()}
+                            for i, d in v.items()}
+                           if k.startswith("per_") else
+                           {str(c): x for c, x in v.items()})
+                       for k, v in result.items()}, f)
     return result
 
 
