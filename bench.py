@@ -42,6 +42,9 @@ measured 1.0083 — slower, rejected), DMOE_FF_2D=1 (2D-flattened FF dots;
 DMOE_WINOGRAD=1 (Winograd F(2x2,3x3) conv serving mode),
 DMOE_PAD_PROJ=1 (fold the flash head-dim pad into the q/k/v weights — exact;
 combines with DMOE_QUANT=1, where the int8 twins keep it bit-exact too),
+DMOE_DEEP_CACHE=N (DeepCache serving mode: full UNet every N-th step, shallow
+cached-deep-feature forward otherwise — approximate, composes with the other
+serving modes),
 DMOE_BENCH_MODE=lcm-sdxl (moefied SDXL-LCM @ 4 steps, batch 2 — the
 reference's few-step operating point, BASELINE.md "LCM: 4 steps"; reports
 no vs_baseline multiple since the 0.25 estimate is SD1.5-specific).
@@ -170,6 +173,12 @@ def main(batch: int | None = None, steps: int | None = None,
         # opt-in policy as int8: outputs differ at bf16 rounding scale.
         unet = dataclasses.replace(unet, conv_winograd=True)
     cfg = dataclasses.replace(cfg, unet=unet)
+    dc = int(os.environ.get("DMOE_DEEP_CACHE", "0"))
+    if dc:
+        # DeepCache serving mode (config.deep_cache_interval): full UNet every
+        # dc-th step, cached-deep-feature shallow forward otherwise. Approximate
+        # like int8/winograd — never the default headline.
+        cfg = dataclasses.replace(cfg, deep_cache_interval=dc)
     if quant or wino:
         # VAE decoder convs join the serving mode (models/vae.py; the decode
         # runs once per image so this mostly matters at few-step serving).
@@ -252,6 +261,8 @@ def main(batch: int | None = None, steps: int | None = None,
     variant = " int8" if quant else ""
     if wino:
         variant += f" winograd-m{os.environ.get('DMOE_WINO_TILE', '2')}"
+    if dc:
+        variant += f" deepcache-{dc}"
     if hook_sim:
         variant += " hook-sim"
     model_name = "SDXL-LCM" if lcm else "SD1.5"

@@ -30,7 +30,7 @@ import time
 # a DMOE_QUANT=1 left exported in the caller's shell must not silently turn
 # the 'plain' leg into int8 while the table still labels it 'plain'.
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_PAD_PROJ",
-         "DMOE_BENCH_MODE")
+         "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE")
 
 MODES: dict[str, dict[str, str]] = {
     "plain": {},
@@ -43,6 +43,10 @@ MODES: dict[str, dict[str, str]] = {
     "int8_pad": {"DMOE_QUANT": "1", "DMOE_PAD_PROJ": "1"},
     "int8_wino2_pad": {"DMOE_QUANT": "1", "DMOE_WINOGRAD": "1",
                        "DMOE_PAD_PROJ": "1"},
+    "dc2": {"DMOE_DEEP_CACHE": "2"},
+    "dc3": {"DMOE_DEEP_CACHE": "3"},
+    "dc3_serve": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
+                  "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
     "lcm_sdxl": {"DMOE_BENCH_MODE": "lcm-sdxl"},
     "lcm_sdxl_serve": {"DMOE_BENCH_MODE": "lcm-sdxl", "DMOE_QUANT": "1",
                        "DMOE_WINOGRAD": "1"},

@@ -51,17 +51,19 @@ def _load_pipe(args):
     def _serving_modes(cfg):
         # opt-in serving modes (outputs differ from bf16 — ops/quant.py,
         # ops/winograd.py); exposed on the `serve` subcommand
-        if getattr(args, "int8", False) or getattr(args, "winograd", False):
+        int8 = getattr(args, "int8", False)
+        wino = getattr(args, "winograd", False)
+        dc = getattr(args, "deep_cache", 0) or 0
+        if int8 or wino or dc:
             import dataclasses
-            int8 = getattr(args, "int8", False)
-            wino = getattr(args, "winograd", False)
             cfg = dataclasses.replace(
                 cfg,
                 unet=dataclasses.replace(cfg.unet, quant_int8=int8,
                                          conv_winograd=wino),
                 # VAE decoder convs join the serving mode (encoder stays exact)
                 vae=dataclasses.replace(cfg.vae, quant_int8=int8,
-                                        conv_winograd=wino))
+                                        conv_winograd=wino),
+                deep_cache_interval=dc)
         return cfg
 
     if args.snapshot:
@@ -975,6 +977,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--winograd", action="store_true",
                     help="Winograd 3x3-conv serving mode (DMOE_WINO_TILE=4 "
                          "for F(4x4,3x3); composes with --int8)")
+    sp.add_argument("--deep-cache", type=int, default=0, metavar="N",
+                    help="DeepCache serving mode: full UNet every N-th step, "
+                         "cached-deep-feature shallow forward otherwise "
+                         "(approximate; composes with --int8/--winograd)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("wanda"); common(sp, concept=True)

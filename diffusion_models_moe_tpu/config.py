@@ -170,6 +170,13 @@ class PipelineConfig:
     # (reference: modularity/remove_experts.py:17-22).
     safety_check: bool = False
     blur_nsfw: bool = False
+    # DeepCache serving mode (models/unet.py deep_feature docstring): 0 = off
+    # (exact, the default/headline); N >= 2 = full UNet forward every N-th
+    # denoise step, shallow (cached-deep-feature) forward otherwise. Like
+    # int8/Winograd this is an opt-in approximation, never the headline.
+    # N == 1 runs the full branch every step (outputs equal the exact path;
+    # useful only for testing the cond plumbing).
+    deep_cache_interval: int = 0
 
 
 def sd15_config(dtype=jnp.bfloat16, relufied: bool = False) -> PipelineConfig:

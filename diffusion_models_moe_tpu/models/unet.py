@@ -34,10 +34,34 @@ class UNet2DCondition(nn.Module):
                  added_time_ids: Optional[jax.Array] = None,
                  step_idx: Optional[jax.Array] = None,
                  tap: Optional[TapSpec] = None,
-                 ivs: Optional[Interventions] = None) -> jax.Array:
+                 ivs: Optional[Interventions] = None,
+                 deep_feature: Optional[jax.Array] = None,
+                 return_deep: bool = False) -> jax.Array:
         """sample: (B, H, W, C) latents; timestep: scalar or (B,);
         encoder_hidden_states: (B, S, D_text). Returns predicted noise (B, H, W, C).
+
+        DeepCache serving mode (Ma et al. 2023, arXiv:2312.00858 — a step-level
+        cache the reference has no analogue of; PAPERS.md's A-SDM/TEAM land on
+        the same redundancy): the feature entering the LAST up block changes
+        slowly across adjacent denoise steps, so shallow steps can splice a
+        cached copy and recompute only the outermost blocks.
+          return_deep=True  -> full forward, returns (eps, deep) where `deep`
+                               is the feature entering the last up block.
+          deep_feature=...  -> SHALLOW forward: conv_in + down block 0 (skip
+                               connections for the last up block), splice
+                               `deep_feature`, run only the last up block +
+                               conv_out. Skips every other block — including
+                               the mid/deep transformers — entirely.
+        Mutually exclusive. FF-layer numbering (ff_index) is preserved in the
+        shallow trace, so routing interventions address the executed layers
+        correctly; tap collection on shallow steps is rejected at the pipeline
+        level (skipped layers would change the tap pytree structure).
         """
+        shallow = deep_feature is not None
+        if shallow and return_deep:
+            raise ValueError("deep_feature and return_deep are exclusive")
+        if (shallow or return_deep) and len(self.cfg.up_block_types) < 2:
+            raise ValueError("deep cache needs >= 2 up blocks")
         cfg = self.cfg
         dt = cfg.dtype
         ndt = dt if cfg.fast_norm else jnp.float32
@@ -92,53 +116,71 @@ class UNet2DCondition(nn.Module):
         ff_index = 0
 
         # --- down path ----------------------------------------------------------
+        # In the shallow (deep-cache) trace only block 0 executes — exactly the
+        # producers of the skip connections the last up block consumes. The
+        # ff_index bookkeeping runs unconditionally so executed layers keep
+        # their full-forward numbering.
         h = nn.Conv(channels[0], (3, 3), padding=1, dtype=dt, name="conv_in")(sample)
         res_stack = [h]
         for i, kind in enumerate(cfg.down_block_types):
             out_ch = channels[i]
             for j in range(cfg.layers_per_block):
-                h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
-                               norm_dtype=ndt, quant=cfg.quant_int8,
-                               winograd=cfg.conv_winograd,
-                               name=f"down_{i}_res_{j}")(h, temb)
+                if not shallow or i == 0:
+                    h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
+                                   norm_dtype=ndt, quant=cfg.quant_int8,
+                                   winograd=cfg.conv_winograd,
+                                   name=f"down_{i}_res_{j}")(h, temb)
+                    if kind == "cross":
+                        h = make_transformer(out_ch, ff_index,
+                                             f"down_{i}_attn_{j}",
+                                             i)(h, context, **tkw)
+                    res_stack.append(h)
                 if kind == "cross":
-                    h = make_transformer(out_ch, ff_index, f"down_{i}_attn_{j}",
-                                         i)(h, context, **tkw)
                     ff_index += cfg.depth_for_block(i)
-                res_stack.append(h)
-            if i < len(cfg.down_block_types) - 1:
+            if i < len(cfg.down_block_types) - 1 and not shallow:
                 h = Downsample2D(out_ch, dtype=dt, quant=cfg.quant_int8,
                                  name=f"down_{i}_downsample")(h)
                 res_stack.append(h)
 
         # --- mid ------------------------------------------------------------------
         mid_ch = channels[-1]
-        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
-                       quant=cfg.quant_int8, winograd=cfg.conv_winograd,
-                       name="mid_res_0")(h, temb)
-        h = make_transformer(mid_ch, ff_index, "mid_attn_0",
-                             len(channels) - 1)(h, context, **tkw)
+        if not shallow:
+            h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
+                           quant=cfg.quant_int8, winograd=cfg.conv_winograd,
+                           name="mid_res_0")(h, temb)
+            h = make_transformer(mid_ch, ff_index, "mid_attn_0",
+                                 len(channels) - 1)(h, context, **tkw)
+            h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
+                           quant=cfg.quant_int8, winograd=cfg.conv_winograd,
+                           name="mid_res_1")(h, temb)
         ff_index += cfg.depth_for_block(len(channels) - 1)
-        h = resnet_cls(mid_ch, cfg.norm_num_groups, dtype=dt, norm_dtype=ndt,
-                       quant=cfg.quant_int8, winograd=cfg.conv_winograd,
-                       name="mid_res_1")(h, temb)
 
         # --- up path ----------------------------------------------------------------
         rev_channels = list(reversed(channels))
+        n_up = len(cfg.up_block_types)
+        deep = None
         for i, kind in enumerate(cfg.up_block_types):
             out_ch = rev_channels[i]
+            last = i == n_up - 1
+            if last and return_deep:
+                deep = h  # the feature entering the last up block
+            if last and shallow:
+                h = deep_feature.astype(dt)
             for j in range(cfg.layers_per_block + 1):
-                res = res_stack.pop()
-                h = jnp.concatenate([h, res], axis=-1)
-                h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
-                               norm_dtype=ndt, quant=cfg.quant_int8,
-                               winograd=cfg.conv_winograd,
-                               name=f"up_{i}_res_{j}")(h, temb)
+                if not shallow or last:
+                    res = res_stack.pop()
+                    h = jnp.concatenate([h, res], axis=-1)
+                    h = resnet_cls(out_ch, cfg.norm_num_groups, dtype=dt,
+                                   norm_dtype=ndt, quant=cfg.quant_int8,
+                                   winograd=cfg.conv_winograd,
+                                   name=f"up_{i}_res_{j}")(h, temb)
+                    if kind == "cross":
+                        h = make_transformer(
+                            out_ch, ff_index, f"up_{i}_attn_{j}",
+                            len(channels) - 1 - i)(h, context, **tkw)
                 if kind == "cross":
-                    h = make_transformer(out_ch, ff_index, f"up_{i}_attn_{j}",
-                                         len(channels) - 1 - i)(h, context, **tkw)
                     ff_index += cfg.depth_for_block(len(channels) - 1 - i)
-            if i < len(cfg.up_block_types) - 1:
+            if i < n_up - 1 and not shallow:
                 h = Upsample2D(out_ch, dtype=dt, quant=cfg.quant_int8,
                                winograd=cfg.conv_winograd,
                                name=f"up_{i}_upsample")(h)
@@ -149,4 +191,6 @@ class UNet2DCondition(nn.Module):
         h = nn.silu(h).astype(dt)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt,
                     name="conv_out")(h)
+        if return_deep:
+            return h.astype(jnp.float32), deep
         return h.astype(jnp.float32)

@@ -221,8 +221,16 @@ class SDXLPipeline:
                 else:
                     state = self.scheduler.init_state(lat.shape)
 
+            # DeepCache serving mode — same cond-in-scan plumbing as
+            # StableDiffusionPipeline.denoise (see there for the policy)
+            dc = cfg.deep_cache_interval
+            if dc > 0 and tap is not None:
+                raise ValueError(
+                    "deep_cache_interval > 0 does not support taps (shallow "
+                    "steps skip the deep layers)")
+
             def body(carry, i):
-                x, sched_state = carry
+                x, sched_state, deep = carry
                 x_in = jnp.concatenate([x, x], axis=0) if do_cfg else x
                 x_in = self.scheduler.scale_model_input(coeffs, i, x_in)
                 kwargs = dict(added_text_embeds=pooled,
@@ -234,6 +242,23 @@ class SDXLPipeline:
                         {"params": params["unet"]}, x_in, timesteps[i],
                         context, tap=tap, mutable=["taps"], **kwargs)
                     ys = flatten_taps(tree.get("taps", {}))
+                elif dc > 0:
+                    def full_step(args):
+                        x_in, _deep = args
+                        return self.unet.apply(
+                            {"params": params["unet"]}, x_in, timesteps[i],
+                            context, return_deep=True, **kwargs)
+
+                    def shallow_step(args):
+                        x_in, deep = args
+                        eps = self.unet.apply(
+                            {"params": params["unet"]}, x_in, timesteps[i],
+                            context, deep_feature=deep, **kwargs)
+                        return eps, deep
+
+                    eps, deep = jax.lax.cond(i % dc == 0, full_step,
+                                             shallow_step, (x_in, deep))
+                    ys = 0
                 else:
                     eps = self.unet.apply({"params": params["unet"]}, x_in,
                                           timesteps[i], context, **kwargs)
@@ -243,10 +268,16 @@ class SDXLPipeline:
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
                 sched_state, x = self.scheduler.step(sched_state, coeffs, eps,
                                                      i, x)
-                return (x, sched_state), ys
+                return (x, sched_state, deep), ys
 
-            (lat, _), taps = jax.lax.scan(body, (lat, state),
-                                          jnp.arange(timesteps.shape[0]))
+            if dc > 0:
+                deep0 = jnp.zeros(
+                    (context.shape[0], lat.shape[1], lat.shape[2],
+                     cfg.unet.block_out_channels[1]), cfg.unet.dtype)
+            else:
+                deep0 = jnp.zeros((), jnp.float32)  # unused carry slot
+            (lat, _, _), taps = jax.lax.scan(body, (lat, state, deep0),
+                                             jnp.arange(timesteps.shape[0]))
             taps = taps if collect else None
             if not decode:
                 return lat, taps

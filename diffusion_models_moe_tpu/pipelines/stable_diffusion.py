@@ -151,8 +151,21 @@ class StableDiffusionPipeline:
                               jnp.float32)[timesteps]
             v_sqrt_a, v_sqrt_1ma = jnp.sqrt(acp), jnp.sqrt(1.0 - acp)
 
+        # DeepCache serving mode (config.deep_cache_interval; see
+        # models/unet.py deep_feature docstring): the scan carries the deep
+        # feature; a lax.cond picks the full forward (refreshing it) on every
+        # interval-th step and the shallow forward otherwise. Both branches
+        # compile once; at runtime only one executes per step. Step 0 is
+        # always full (0 % interval == 0), so the zeros init is never used.
+        dc = self.config.deep_cache_interval
+        if dc > 0 and tap is not None:
+            raise ValueError(
+                "deep_cache_interval > 0 does not support taps: shallow "
+                "steps skip the deep layers, so the tap pytree structure "
+                "would differ between the lax.cond branches")
+
         def body(carry, i):
-            lat, sched_state = carry
+            lat, sched_state, deep = carry
             lat_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
             lat_in = self.scheduler.scale_model_input(coeffs, i, lat_in)
             t = timesteps[i]
@@ -162,6 +175,25 @@ class StableDiffusionPipeline:
                     timestep_cond=timestep_cond, step_idx=i, tap=tap, ivs=ivs,
                     mutable=["taps"])
                 ys = flatten_taps(tap_tree.get("taps", {}))
+            elif dc > 0:
+                def full_step(args):
+                    lat_in, _deep = args
+                    return self.unet.apply(
+                        {"params": params["unet"]}, lat_in, t, context,
+                        timestep_cond=timestep_cond, step_idx=i, ivs=ivs,
+                        return_deep=True)
+
+                def shallow_step(args):
+                    lat_in, deep = args
+                    eps = self.unet.apply(
+                        {"params": params["unet"]}, lat_in, t, context,
+                        timestep_cond=timestep_cond, step_idx=i, ivs=ivs,
+                        deep_feature=deep)
+                    return eps, deep
+
+                eps, deep = jax.lax.cond(i % dc == 0, full_step, shallow_step,
+                                         (lat_in, deep))
+                ys = 0
             else:
                 eps = self.unet.apply({"params": params["unet"]}, lat_in, t,
                                       context, timestep_cond=timestep_cond,
@@ -177,10 +209,17 @@ class StableDiffusionPipeline:
                 ys = ys if isinstance(ys, dict) else {}
                 ys["eps"] = {0: eps}
             sched_state, lat = self.scheduler.step(sched_state, coeffs, eps, i, lat)
-            return (lat, sched_state), ys
+            return (lat, sched_state, deep), ys
 
-        (latents, _), taps = jax.lax.scan(
-            body, (latents, state), jnp.arange(timesteps.shape[0]))
+        if dc > 0:
+            ucfg = self.config.unet
+            deep0 = jnp.zeros(
+                (context.shape[0], latents.shape[1], latents.shape[2],
+                 ucfg.block_out_channels[1]), ucfg.dtype)
+        else:
+            deep0 = jnp.zeros((), jnp.float32)  # unused carry slot
+        (latents, _, _), taps = jax.lax.scan(
+            body, (latents, state, deep0), jnp.arange(timesteps.shape[0]))
         return latents, (taps if collect else None)
 
     def _setup_scheduler(self, num_steps: int, sample_shape, key=None):
