@@ -71,6 +71,47 @@ def plot_metric_vs_threshold(results: Sequence[tuple], out_path: str,
     plt.close(fig)
 
 
+def plot_metric_vs_confidence(per_concept: dict, out_path: str,
+                              ylabel: str = "score",
+                              title: str = "") -> None:
+    """Multi-panel confidence-sweep plot (reference: notebooks/plot_fid_conf.py
+    and plot_conf_val_scores.py — FID / LLaVA style score after removal vs
+    t-test confidence). `per_concept` maps concept -> [(conf, value), ...];
+    the x axis is the reference's `100 * (1 - conf/2)` percent transform."""
+    plt = _plt()
+    concepts = list(per_concept)
+    fig, axes = plt.subplots(1, len(concepts),
+                             figsize=(5 * len(concepts), 5), squeeze=False)
+    if title:
+        fig.suptitle(title)
+    for ax, c in zip(axes[0], concepts):
+        confs, ys = zip(*sorted(per_concept[c]))
+        xs = [100.0 * (1.0 - v / 2.0) for v in confs]
+        ax.plot(xs, ys)
+        ax.scatter(xs, ys, marker="o", color="red")
+        ax.set_xlabel("Confidence interval (%)")
+        ax.set_ylabel(ylabel)
+        ax.set_title(str(c))
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def average_results(results: Sequence[dict], floor: float = 0.45,
+                    floor_to: float = 1.0) -> dict:
+    """Per-key mean over a results.json list, carrying the reference's
+    clamp quirk verbatim: values <= `floor` are replaced by `floor_to`
+    before averaging (reference: benchmarking results/union-timesteps/
+    test_professions/calc_average.py — `result[key] if result[key] > 0.45
+    else 1`)."""
+    import numpy as np
+    if not results:
+        return {}
+    return {key: float(np.mean([r[key] if r[key] > floor else floor_to
+                                for r in results]))
+            for key in results[0]}
+
+
 def image_grid(images: Sequence, out_path: str, n_cols: int = 5) -> None:
     """Stitch images (H, W, 3) uint8/float arrays into one grid PNG — the
     reference's memorization comparison grids (notebooks/make_mem_grid.py).

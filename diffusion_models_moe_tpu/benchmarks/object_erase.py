@@ -69,6 +69,53 @@ def object_erasure_scores(classify: Callable,
     }
 
 
+def word_match_accuracy(logits: np.ndarray, categories: Sequence[str],
+                        labels: Sequence[str], k: int = 5) -> float:
+    """The reference's ACTUAL erasure accuracy metric, carried verbatim
+    (reference: benchmarks/object_erase.py:248-295): for each image, take the
+    top-k predicted category NAMES and count the image correct (0/1) if any
+    prediction shares a whole word with the true label — e.g. label
+    "french horn" matches prediction "French horn" via "horn" even though the
+    case-differing "French" does not. Quirks reproduced on purpose:
+
+      - predictions keep the category list's ORIGINAL case while the label is
+        lowercased; the reference computes a lowercased `all_categories` and
+        a validity gate but both are commented out / unused (:249-250,
+        :269-272), so every image counts in the denominator;
+      - word containment is exact membership of a prediction word in the
+        label's word list (first matching prediction wins, then break).
+
+    `categories` maps class index -> name; with the native zero-shot CLIP
+    judge this is the imagenette class list, with a ported ResNet-50 judge it
+    is the ImageNet-1k name list the weights shipped with (injected — the
+    reference pulls it from torchvision `weights.meta["categories"]`).
+    Returns acc = mean over images (reference: results['acc'], :292-295).
+    """
+    logits = np.asarray(logits)
+    topk = np.argsort(-logits, axis=-1)[:, :k]
+    hits = 0
+    for row, label in zip(topk, labels):
+        label_words = str(label).strip().lower().split(" ")
+        for idx in row:
+            pred_words = str(categories[idx]).split(" ")
+            if any(w in label_words for w in pred_words):
+                hits += 1
+                break
+    return float(hits / len(topk)) if len(topk) else 0.0
+
+
+def erasure_word_match_protocol(classify: Callable, images,
+                                labels: Sequence[str],
+                                categories: Sequence[str],
+                                k: int = 5) -> dict:
+    """Reference result shape for one erase/keep split: classify the stack,
+    word-match the top-k names against each image's true label string, return
+    {"acc": ...} exactly as the reference writes to results.json
+    (benchmarks/object_erase.py:292-298)."""
+    logits = classify(images)
+    return {"acc": word_match_accuracy(logits, categories, labels, k=k)}
+
+
 def make_resnet_classifier(weights_path: str, num_classes: int = 1000,
                            batch: int = 64) -> Callable:
     """NATIVE ResNet-50 judge on TPU from a torchvision-layout state dict

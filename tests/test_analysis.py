@@ -127,6 +127,29 @@ def test_image_grid(tmp_path):
     assert (arr[4:, 8:] == 0).all()        # padded slot is black
 
 
+def test_plot_metric_vs_confidence(tmp_path):
+    """Conf-sweep multi-panel plot (reference notebooks/plot_fid_conf.py)."""
+    from diffusion_models_moe_tpu.analysis.plots import plot_metric_vs_confidence
+
+    out = tmp_path / "conf.png"
+    plot_metric_vs_confidence(
+        {"naked": [(0.2, 1.0), (0.01, 2.0)],
+         "Van Gogh": [(0.2, 3.0), (0.01, 4.0)]},
+        str(out), ylabel="FID", title="t")
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_average_results_clamp_quirk():
+    """calc_average.py's clamp: values <= 0.45 count as 1 before the mean."""
+    from diffusion_models_moe_tpu.analysis.plots import average_results
+
+    rows = [{"acc": 0.9, "sim": 0.4}, {"acc": 0.5, "sim": 0.8}]
+    out = average_results(rows)
+    assert out["acc"] == (0.9 + 0.5) / 2
+    assert out["sim"] == (1.0 + 0.8) / 2          # 0.4 clamped to 1
+    assert average_results([]) == {}
+
+
 def test_image_grid_mixed_inputs(tmp_path):
     """Mixed sizes pad into the slot; grayscale/RGBA normalize; empty raises."""
     import numpy as np

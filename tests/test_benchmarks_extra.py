@@ -76,6 +76,44 @@ def test_object_erasure_protocol():
     assert topk_accuracy(np.eye(3), [0, 1, 2], 1) == 1.0
 
 
+def test_word_match_accuracy_reference_semantics():
+    """The reference's word-overlap top-5 metric, quirks included
+    (reference: benchmarks/object_erase.py:248-295)."""
+    from diffusion_models_moe_tpu.benchmarks.object_erase import (
+        erasure_word_match_protocol, word_match_accuracy)
+
+    cats = ["French horn", "tench", "golf ball", "pickup truck", "abacus"]
+
+    def logits_for(order):
+        # logits ranking exactly `order` first
+        out = np.zeros((1, len(cats)))
+        for rank, idx in enumerate(order):
+            out[0, idx] = len(cats) - rank
+        return out
+
+    # multi-word label matches on the shared word despite case mismatch:
+    # pred "French horn" vs label "french horn" — "French" misses (case) but
+    # "horn" hits.
+    assert word_match_accuracy(logits_for([0]), cats, ["french horn"], k=1) == 1.0
+    # case-sensitive prediction words: pred "French horn" vs label "french"
+    # has no matching word ("French" != "french", "horn" not in ["french"]).
+    assert word_match_accuracy(logits_for([0]), cats, ["french"], k=1) == 0.0
+    # any of the top-k predictions may match
+    assert word_match_accuracy(logits_for([1, 2]), cats, ["golf ball"], k=2) == 1.0
+    assert word_match_accuracy(logits_for([1, 2]), cats, ["golf ball"], k=1) == 0.0
+    # partial word containment does NOT count (whole-word membership)
+    assert word_match_accuracy(logits_for([4]), cats, ["abacuses"], k=1) == 0.0
+    # mean over images
+    acc = word_match_accuracy(np.concatenate([logits_for([2]),
+                                              logits_for([3])]),
+                              cats, ["golf ball", "tench"], k=1)
+    assert acc == 0.5
+    res = erasure_word_match_protocol(lambda im: logits_for([2]),
+                                      np.zeros((1, 2, 2, 3)),
+                                      ["golf ball"], cats, k=1)
+    assert res == {"acc": 1.0}
+
+
 def test_eval_runner_resume_by_skip(tmp_path):
     """Batched eval generation with crash-restartable resume
     (reference: benchmarks/eval_coco.py:252-254)."""
