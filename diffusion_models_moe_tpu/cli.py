@@ -128,14 +128,20 @@ def cmd_generate(args):
 def cmd_wanda(args):
     pipe, params, tokenize = _load_pipe(args)
     from diffusion_models_moe_tpu.analysis.collect import wanda_pipeline
+    from diffusion_models_moe_tpu.data.operating_points import wanda_skill_ratio
     from diffusion_models_moe_tpu.erasure.masks import save_masks
     base, adj = _prompt_pairs(args)
+    if args.skill_ratio is None:
+        # the reference's known-good per-concept ratio (operating_points.py,
+        # <- save_union_over_time.py:9-69); 0.05 when the concept has none
+        args.skill_ratio = wanda_skill_ratio(args.concept, default=0.05)
     masks = wanda_pipeline(pipe, params, tokenize, base, adj,
                            skill_ratio=args.skill_ratio, seed=args.seed,
                            num_steps=args.steps, cache_dir=args.cache_dir)
     save_masks(args.out, masks)
     total = sum(int(m.sum()) for m in masks.values())
-    print(json.dumps({"out": args.out, "skilled_entries": total}))
+    print(json.dumps({"out": args.out, "skilled_entries": total,
+                      "skill_ratio": args.skill_ratio}))
 
 
 def cmd_ttest(args):
@@ -984,7 +990,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("wanda"); common(sp, concept=True)
-    sp.add_argument("--skill-ratio", type=float, default=0.05)
+    sp.add_argument("--skill-ratio", type=float, default=None,
+                    help="top fraction of Wanda columns per (t,l); defaults "
+                         "to the reference's per-concept operating point "
+                         "(data/operating_points.py), else 0.05")
     sp.add_argument("--cache-dir", default=None)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_wanda)

@@ -314,3 +314,42 @@ def test_tokenizer_golden_vs_transformers(toy_tokenizer, tmp_path):
     ref = hf(texts, padding="max_length", truncation=True, max_length=8,
              return_tensors="np")["input_ids"]
     np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_operating_points_tables():
+    """The reference's per-concept operating points carried verbatim
+    (reference: save_union_over_time.py:9-69, eval_coco.py:36-61,
+    object_erase.py:22-45, save_union_over_ap.py:24-45)."""
+    from diffusion_models_moe_tpu.data.operating_points import (
+        BAKED_CHECKPOINT_RATIOS, MEMORIZED_TRIGGER_PROMPTS,
+        UNION_SELECT_RATIOS, WANDA_SKILL_RATIOS_BAKE, baked_checkpoint_ratio,
+        union_select_ratio, wanda_skill_ratio)
+
+    # exact-case lookups first: the bake table has case-differing duplicates
+    assert wanda_skill_ratio("Parachute") == 0.005
+    assert wanda_skill_ratio("parachute") == 0.02
+    # case-insensitive fallback for keys with one spelling
+    assert wanda_skill_ratio("van gogh") == 0.02
+    # flow disagreement is real data, not a typo
+    assert wanda_skill_ratio("5artists", flow="bake") == 0.9
+    assert wanda_skill_ratio("5artists", flow="eval") == 0.95
+    assert wanda_skill_ratio("Monet", flow="eval") == 0.05
+    # memorize splits all 0.01
+    assert all(WANDA_SKILL_RATIOS_BAKE[f"memorize_{i}"] == 0.01
+               for i in range(20))
+    # None entries fall through to the default
+    assert wanda_skill_ratio("5artists_naked", flow="eval", default=0.3) == 0.3
+    assert wanda_skill_ratio("no such concept", default=0.05) == 0.05
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wanda_skill_ratio("naked", flow="bogus")
+
+    assert union_select_ratio("english springer") == 0.6
+    assert union_select_ratio("all_imagenette_objects", default=0.1) == 0.1
+    assert UNION_SELECT_RATIOS["church"] == 0.0
+    assert baked_checkpoint_ratio("Golf Ball") == 0.3
+    assert baked_checkpoint_ratio("golf ball") == 0.3   # case fallback
+    assert BAKED_CHECKPOINT_RATIOS["Salvador Dali (eval_coco)"] == 0.4
+    assert MEMORIZED_TRIGGER_PROMPTS["memorize_0"] == "Ann Graham Lotz"
+    assert (MEMORIZED_TRIGGER_PROMPTS["memorize_7"]
+            == "The No Limits Business Woman Podcast")
