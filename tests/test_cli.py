@@ -312,3 +312,116 @@ def test_cli_vqa(tmp_path, monkeypatch, capsys):
     assert res["after_removal"]["style_score"] == 1.0
     assert _json.load(open(out)) == res
     assert any("(1)cat (2)dog" in q for q in calls)
+
+
+def test_cli_ttest_remove_roundtrip(tmp_path, capsys):
+    """The t-test attribution flow end-to-end: predictivity collection ->
+    paired t-test masks -> neuron-removal eval (reference:
+    modularity_analysis.py -> paired_t_test.py -> remove_experts.py)."""
+    import json as _json
+
+    masks_p = tmp_path / "ttest_masks.npz"
+    pred_p = tmp_path / "pred.npz"
+    main(["ttest", "--cpu", "--concept", "Van Gogh", "--limit", "2",
+          "--steps", "2", "--conf", "0.2", "--out", str(masks_p),
+          "--save-predictivity", str(pred_p)])
+    assert masks_p.exists() and pred_p.exists()
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["skilled_neurons"] >= 0
+    out_dir = tmp_path / "removed"
+    main(["remove", "--cpu", "--concept", "Van Gogh", "--limit", "1",
+          "--steps", "2", "--batch", "1", "--mode", "neurons",
+          "--masks", str(masks_p), "--out-dir", str(out_dir)])
+    assert any(f.startswith("removed_") for f in os.listdir(out_dir))
+
+
+def test_cli_analysis_and_eval_commands(tmp_path, capsys):
+    """sparsity, expert-freq, eval-gen, and score-dirs front doors on the
+    tiny config (reference: check_sparsity.py, freq_expert_select.py,
+    eval_coco.py, calculate_scores.py)."""
+    import json as _json
+
+    main(["sparsity", "--cpu", "--concept", "Van Gogh", "--limit", "1",
+          "--steps", "2"])
+    sp = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sp and all(0.0 <= v <= 1.0 for v in sp.values())
+
+    labels = tmp_path / "labels.npz"
+    main(["moefy", "--cpu", "--method", "greedy", "--expert-size", "16",
+          "--out", str(labels)])
+    freq_p = tmp_path / "freq.json"
+    main(["expert-freq", "--cpu", "--concept", "Van Gogh", "--limit", "1",
+          "--steps", "2", "--labels", str(labels), "--out", str(freq_p)])
+    freq = _json.load(open(freq_p))
+    # T = scheduler firings (PNDM warmup makes it steps+1, like the
+    # reference's T=51 for 50 steps); rows are normalized frequencies
+    assert freq and all(np.asarray(v).shape[0] >= 2 for v in freq.values())
+    assert all(np.asarray(v).min() >= 0 for v in freq.values())
+    capsys.readouterr()
+
+    out_dir = tmp_path / "eval"
+    main(["eval-gen", "--cpu", "--concept", "Van Gogh", "--limit", "2",
+          "--steps", "2", "--batch", "2", "--out-dir", str(out_dir)])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["generated"] >= 2 or res.get("skipped", 0) >= 0
+    names = os.listdir(out_dir)
+    assert any(n.startswith("sd_") for n in names)
+    assert any(n.startswith("removed_") for n in names)
+
+    main(["score-dirs", "--a-dir", str(out_dir), "--b-dir", str(out_dir)])
+    sc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(sc["fid"])
+
+
+def test_stitch_side_by_side():
+    """Before/after stitching (reference: remove_experts.py:47-69)."""
+    from diffusion_models_moe_tpu.pipelines.stable_diffusion import (
+        stitch_side_by_side)
+
+    a = np.zeros((2, 8, 6, 3), np.float32)
+    b = np.ones((2, 8, 6, 3), np.float32)
+    out = stitch_side_by_side(a, b)
+    assert len(out) == 2 and out[0].size == (12, 8)
+    arr = np.asarray(out[0])
+    assert arr[:, :6].max() == 0 and arr[:, 6:].min() == 255
+
+
+def test_mimic_cxr_dataset(tmp_path):
+    """CSV-driven image/report batches, center-crop + [-1,1] scaling
+    (reference: get_dataset_mimic_cxr.py)."""
+    import csv as _csv
+
+    from PIL import Image
+
+    from diffusion_models_moe_tpu.data.mimic_cxr import MimicCXRDataset
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (40, 30, 3), np.uint8)).save(
+            str(root / f"x{i}.png"))
+        rows.append({"path": f"x{i}.png", "report": f"report {i}"})
+    csv_p = tmp_path / "meta.csv"
+    with open(csv_p, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["path", "report"])
+        w.writeheader()
+        w.writerows(rows)
+
+    ds = MimicCXRDataset(str(csv_p), str(root), resolution=16)
+    assert len(ds) == 3
+    tok_calls = []
+
+    def tokenize(texts):
+        tok_calls.append(list(texts))
+        return np.zeros((len(texts), 4), np.int32)
+
+    batches = list(ds.batches(2, tokenize, seed=0, epochs=2))
+    assert len(batches) == 2                       # drop-last, 2 epochs
+    img = batches[0]["images"]
+    assert img.shape == (2, 16, 16, 3)
+    assert img.min() >= -1.0 and img.max() <= 1.0
+    assert batches[0]["input_ids"].shape == (2, 4)
+    with pytest.raises(ValueError):
+        next(ds.batches(5, tokenize))
