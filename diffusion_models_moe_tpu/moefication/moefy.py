@@ -91,6 +91,25 @@ def load_labels(path: str) -> dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def build_add_experts_boost(avg_scores: np.ndarray, skilled: np.ndarray,
+                            scale: float = 5.0) -> np.ndarray:
+    """AddExperts boost array: (T, E) average expert scores + skilled-expert
+    selection -> the (T, E) additive routing boost the reference applies
+    (reference: neuron_receivers/add_skilled_experts.py:56 —
+    `score[:, idx] += 5.0 * avg_activation[t][l][idx]`; avg scores come from
+    the ExpertPredictivity stats, TapSpec.expert_scores_max means).
+
+    `skilled` is (E,) or (T, E) bool. NOTE the reference also shrinks the
+    routed expert count to k' = int(0.8 * k) while boosting
+    (add_skilled_experts.py:58) — reproduce that by passing
+    `topk_ratio * 0.8` to `build_moe_interventions` alongside this boost."""
+    av = np.asarray(avg_scores, np.float32)
+    sk = np.asarray(skilled, bool)
+    if sk.ndim == 1:
+        sk = np.broadcast_to(sk[None, :], av.shape)
+    return np.where(sk, scale * av, 0.0).astype(np.float32)
+
+
 def build_moe_interventions(labels: dict[str, np.ndarray], topk_ratio: float,
                             n_layers: Optional[int] = None,
                             expert_remove: Optional[dict] = None,

@@ -130,3 +130,34 @@ def test_centroid_and_mlp_router():
     pred = np.asarray(router.scores(x))
     acc = router_topk_accuracy(pred, targets, k=1)
     assert acc > 0.8, acc
+
+
+def test_build_add_experts_boost_changes_routing():
+    """AddExperts boost construction (reference:
+    add_skilled_experts.py:56) and its effect through routing_mask."""
+    import jax.numpy as jnp
+
+    from diffusion_models_moe_tpu.moefication.moefy import (
+        build_add_experts_boost)
+    from diffusion_models_moe_tpu.taps import (patterns_from_labels,
+                                               routing_mask)
+
+    T, E, H = 3, 4, 8
+    avg = np.full((T, E), 2.0, np.float32)
+    boost = build_add_experts_boost(avg, np.array([False, False, False, True]))
+    assert boost.shape == (T, E)
+    assert boost[0, 3] == 10.0 and boost[0, :3].max() == 0.0   # 5.0 * avg
+    # (T, E) skilled mask variant
+    sk2 = np.zeros((T, E), bool); sk2[1, 2] = True
+    b2 = build_add_experts_boost(avg, sk2, scale=3.0)
+    assert b2[1, 2] == 6.0 and b2.sum() == 6.0
+
+    # the boosted expert wins routing it would otherwise lose
+    labels = np.arange(E).repeat(H // E)              # 2 neurons/expert
+    patterns = patterns_from_labels(labels, E)
+    gate = jnp.asarray(np.linspace(1.0, 2.0, H, dtype=np.float32)[None, :])
+    _, sel = routing_mask(gate, jnp.asarray(patterns), k=1)
+    assert 3 in np.flatnonzero(np.asarray(sel))       # expert 3 wins unboosted
+    _, sel_b = routing_mask(gate, jnp.asarray(patterns), k=1,
+                            expert_boost=jnp.asarray(100.0 * np.eye(E)[0]))
+    assert 0 in np.flatnonzero(np.asarray(sel_b))     # boost flips it
