@@ -155,6 +155,38 @@ def intersect_over_seeds(masks: list[np.ndarray]) -> np.ndarray:
 
 def moefy_compare_skilled_experts(sel_base: np.ndarray, sel_adj: np.ndarray
                                   ) -> np.ndarray:
-    """Experts selected (by top-k routing) for concept prompts but not base prompts
-    (reference: modularity/moefy_skilled_experts.py:23-60). sel_*: (T, E) counts."""
+    """SIMPLIFIED aggregate variant: experts ever selected (by top-k routing)
+    for concept prompts and never for base prompts, over prompt-summed (T, E)
+    counts. The reference's actual rule is per-prompt — use
+    `moefy_compare_skilled_experts_per_prompt` for exact parity."""
     return (np.asarray(sel_adj) > 0) & (np.asarray(sel_base) == 0)
+
+
+def moefy_compare_skilled_experts_per_prompt(sel_base: np.ndarray,
+                                             sel_adj: np.ndarray,
+                                             skill_ratio: float,
+                                             symm: bool = False) -> np.ndarray:
+    """The reference's moefy-compare rule, verbatim
+    (modularity/moefy_skilled_experts.py:94-121): per prompt pair and (t, l),
+    take the SET difference of selected experts (adj − base; symmetric when
+    `symm`), accumulate the per-expert occurrence count across prompts, and
+    mark an expert skilled when its count >= int(skill_ratio * n_prompts)
+    (floor + >=, as in the reference's Counter threshold). Unlike the
+    aggregate variant, an expert that base selects in a few prompts can still
+    be skilled if the per-prompt difference fires often enough.
+
+    sel_*: (P, T, E) boolean/count per-prompt selections (GetExperts /
+    TapSpec.expert_sel per prompt). Returns (T, E) bool."""
+    b = np.asarray(sel_base) > 0
+    a = np.asarray(sel_adj) > 0
+    if b.shape != a.shape or b.ndim != 3:
+        raise ValueError(f"need matching (P, T, E) stacks, got {b.shape} "
+                         f"vs {a.shape}")
+    diff = a & ~b
+    if symm:
+        diff = diff | (b & ~a)
+    counts = diff.sum(axis=0)
+    # the reference thresholds Counter entries, which only exist for experts
+    # appearing in >= 1 per-prompt diff — so a floor-zero int(skill_ratio*P)
+    # still requires one occurrence, never "every expert"
+    return counts >= max(int(skill_ratio * b.shape[0]), 1)

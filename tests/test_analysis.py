@@ -112,6 +112,45 @@ def test_expert_selectors():
     np.testing.assert_array_equal(m, [True, False])
 
 
+def test_moefy_compare_per_prompt_reference_rule():
+    """Per-prompt set-difference counting with the int(skill_ratio * P)
+    threshold (reference: moefy_skilled_experts.py:94-121) — differs from the
+    aggregate any/never variant when base occasionally selects an expert."""
+    from diffusion_models_moe_tpu.analysis.selectors import (
+        moefy_compare_skilled_experts,
+        moefy_compare_skilled_experts_per_prompt)
+
+    # P=4 prompts, T=1, E=2. Expert 0: adj always, base in ONE prompt ->
+    # per-prompt diff fires 3/4 times. Expert 1: never differs.
+    base = np.zeros((4, 1, 2), bool); adj = np.zeros((4, 1, 2), bool)
+    adj[:, 0, 0] = True
+    base[0, 0, 0] = True
+    base[:, 0, 1] = adj[:, 0, 1] = True
+    out = moefy_compare_skilled_experts_per_prompt(base, adj, skill_ratio=0.7)
+    np.testing.assert_array_equal(out, [[True, False]])   # 3 >= int(0.7*4)=2
+    # the aggregate variant misses expert 0 (base selected it once)
+    agg = moefy_compare_skilled_experts(base.sum(0), adj.sum(0))
+    np.testing.assert_array_equal(agg, [[False, False]])
+    # symmetric difference counts base-only selections too: make base (and
+    # not adj) select expert 1 in two prompts
+    base2 = base.copy(); adj2 = adj.copy()
+    base2[:2, 0, 1] = True; adj2[:, 0, 1] = False; base2[2:, 0, 1] = False
+    asym = moefy_compare_skilled_experts_per_prompt(base2, adj2, 0.5)
+    np.testing.assert_array_equal(asym, [[True, False]])   # adj-minus-base only
+    sym = moefy_compare_skilled_experts_per_prompt(base2, adj2, 0.5, symm=True)
+    np.testing.assert_array_equal(sym, [[True, True]])     # 2 >= int(0.5*4)=2
+    # a floor-zero threshold still needs one occurrence: the reference
+    # thresholds Counter entries, which only exist for experts in >= 1 diff
+    allpass = moefy_compare_skilled_experts_per_prompt(base, adj, 0.1)
+    np.testing.assert_array_equal(allpass, [[True, False]])
+    # threshold is floor + >=: skill_ratio=1.0 -> needs all 4, only 3 fire
+    strict = moefy_compare_skilled_experts_per_prompt(base, adj, 1.0)
+    np.testing.assert_array_equal(strict, [[False, False]])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        moefy_compare_skilled_experts_per_prompt(base[0], adj[0], 0.5)
+
+
 def test_image_grid(tmp_path):
     """Row-major grid stitch with black padding (reference
     notebooks/make_mem_grid.py)."""
