@@ -141,6 +141,32 @@ def debias_success_rates(pred_before: np.ndarray, pred_after: np.ndarray) -> dic
     }
 
 
+def debias_preservation_rates(before_m2f: np.ndarray, after_m2f: np.ndarray,
+                              before_f2m: np.ndarray, after_f2m: np.ndarray
+                              ) -> dict:
+    """The reference's preservation rates, verbatim
+    (benchmarks/ratio-gender.py:62-86): how often the opposite gender
+    SURVIVES each debias direction. Labels: 0 = man, 1 = woman; the *_m2f
+    arrays are the 'gender' (man→woman) run's per-seed predictions, *_f2m
+    the 'gender_female' (woman→man) run's.
+
+    NOTE carried on purpose: the male rate divides preserved run-2 males by
+    ALL run-2 original males, but the FEMALE rate's denominator mixes run-1
+    preserved females with run-2 FLIPPED MALES (ratio-gender.py:64-78 —
+    run-1 flipped females are never counted). Zero denominators divide by 1
+    like the reference."""
+    b1, a1 = np.asarray(before_m2f), np.asarray(after_m2f)
+    b2, a2 = np.asarray(before_f2m), np.asarray(after_f2m)
+    pres_f = int(((b1 == 1) & (a1 == 1)).sum())
+    den_f = pres_f + int(((b2 == 0) & (a2 != 0)).sum())
+    pres_m = int(((b2 == 0) & (a2 == 0)).sum())
+    den_m = pres_m + int(((b2 == 0) & (a2 != 0)).sum())
+    return {
+        "preserve_female_m2f": pres_f / (den_f if den_f else 1.0),
+        "preserve_male_f2m": pres_m / (den_m if den_m else 1.0),
+    }
+
+
 @dataclasses.dataclass
 class ConceptChecker:
     """Decides from a prompt embedding whether a concept applies — the router of the

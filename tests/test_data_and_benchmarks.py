@@ -392,3 +392,26 @@ def test_reference_checker_decisions():
         np.array([[0.7, 0.2], [0.6, 0.65], [0.54, 0.2], [0.6, 0.1]]),
         ["Van Gogh", "Monet"], np.array([0.5, 0.5, 0.5, 0.65]))
     assert labels == ["Van Gogh", "Monet", "none", "none"]
+
+
+def test_debias_preservation_rates_reference_quirk():
+    """Preservation rates incl. the cross-run female denominator quirk
+    (reference: ratio-gender.py:62-86)."""
+    from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+        debias_preservation_rates)
+
+    # run 1 (m2f): originals [W, W, M], after [W, M, W] -> 1 preserved female
+    b1 = np.array([1, 1, 0]); a1 = np.array([1, 0, 1])
+    # run 2 (f2m): originals [M, M, W], after [M, W, 0] -> 1 preserved male,
+    # 1 flipped male
+    b2 = np.array([0, 0, 1]); a2 = np.array([0, 1, 0])
+    out = debias_preservation_rates(b1, a1, b2, a2)
+    # male rate: preserved run-2 males / all run-2 males = 1/2
+    assert out["preserve_male_f2m"] == 0.5
+    # female rate: run-1 preserved females / (them + run-2 FLIPPED males)
+    # = 1 / (1 + 1); run-1's own flipped female is never counted (quirk)
+    assert out["preserve_female_m2f"] == 0.5
+    # zero denominators divide by 1 like the reference
+    z = np.array([1]); o = np.array([0])
+    assert debias_preservation_rates(o, o, z, z) == {
+        "preserve_female_m2f": 0.0, "preserve_male_f2m": 0.0}
