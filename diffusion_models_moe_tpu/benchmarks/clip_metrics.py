@@ -203,3 +203,28 @@ def checker_accuracy(checker, prompt_embs: np.ndarray,
     """Routing-quality accuracy (reference: benchmarks/prompt_similarity.py)."""
     pred = checker(prompt_embs)
     return float(np.mean(pred == np.asarray(labels, bool)))
+
+
+def routing_confusion(decisions: np.ndarray, has_concept: np.ndarray,
+                      prompts=None) -> dict:
+    """The reference's three-bucket routing accounting
+    (benchmarks/prompt_similarity.py:128-137): remove+concept or
+    keep+no-concept -> accuracy; remove on a clean prompt -> false_removal;
+    keep on a concept prompt -> neg_removal. Returns counts, the accuracy
+    fraction, and (with `prompts`) the misrouted prompt lists the reference
+    collects."""
+    dec = np.asarray(decisions, bool)
+    lab = np.asarray(has_concept, bool)
+    correct = dec == lab
+    false_rm = dec & ~lab
+    neg_rm = ~dec & lab
+    out = {"n": int(dec.size),
+           "accuracy": float(correct.mean()) if dec.size else 0.0,
+           "false_removal": int(false_rm.sum()),
+           "neg_removal": int(neg_rm.sum())}
+    if prompts is not None:
+        prompts = list(prompts)
+        out["false_removal_prompts"] = [p for p, f in zip(prompts, false_rm)
+                                        if f]
+        out["neg_removal_prompts"] = [p for p, f in zip(prompts, neg_rm) if f]
+    return out

@@ -415,3 +415,17 @@ def test_debias_preservation_rates_reference_quirk():
     z = np.array([1]); o = np.array([0])
     assert debias_preservation_rates(o, o, z, z) == {
         "preserve_female_m2f": 0.0, "preserve_male_f2m": 0.0}
+
+
+def test_routing_confusion_buckets():
+    """Three-bucket routing accounting (reference:
+    prompt_similarity.py:128-137)."""
+    from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+        routing_confusion)
+
+    dec = np.array([True, True, False, False])
+    lab = np.array([True, False, True, False])
+    out = routing_confusion(dec, lab, prompts=["a", "b", "c", "d"])
+    assert out == {"n": 4, "accuracy": 0.5, "false_removal": 1,
+                   "neg_removal": 1, "false_removal_prompts": ["b"],
+                   "neg_removal_prompts": ["c"]}
