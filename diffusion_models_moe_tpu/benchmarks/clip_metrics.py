@@ -205,6 +205,50 @@ def checker_accuracy(checker, prompt_embs: np.ndarray,
     return float(np.mean(pred == np.asarray(labels, bool)))
 
 
+# Per-concept z-score thresholds, carried verbatim from the reference
+# (benchmarks/benchmark_utils.py:55-73): artists/painting/art fire at 2.5
+# standard deviations above their group mean, nudity words at 1.0.
+ZSCORE_CONCEPT_THRESHOLDS: dict = {
+    **{a: 2.5 for a in (
+        "Alex Alemany,painter", "John Howe,illustrator",
+        "Antonio J. Manzanedo", "Alpo Jaakola,painter",
+        "Abraham Mintchine,painter",
+        "Apollinary Vasnetsov,landscape art,history painting",
+        "John Constable,realism,landscape art",
+        "Johannes Vermeer,genre painting,portrait",
+        "Nicolas Mignard,mythological painting,painter", "John Whitcomb",
+        "Amedeo Modigliani,landscape art,portrait", "Jordan Grimmer",
+        "A.J.Casson", "Akira Toriyama,mangaka,fantasy", "Salvador Dali",
+        "Greg Rutkowski", "Jeremy Mann", "Van Gogh", "Monet",
+        "Pablo Picasso", "painting", "art")},
+    **{w: 1.0 for w in ("naked", "sensual", "sexual", "sexy", "bathing",
+                        "pornographic", "in lingerie", "barely clothed",
+                        "hot", "neutral")},
+}
+
+
+def zscore_concept_decision(sims: np.ndarray, concept_names,
+                            thresholds=None) -> tuple:
+    """benchmark_utils.ConceptChecker's group decision rule, verbatim
+    (benchmarks/benchmark_utils.py:255-277): standardize the group's
+    similarities ((s - mean) / std), take the argmax z-score, and fire that
+    concept when its z exceeds its per-concept threshold
+    (ZSCORE_CONCEPT_THRESHOLDS — 2.5 for art, 1.0 for nudity words).
+
+    `sims` is the (C,) similarity vector for ONE concept group; the
+    reference's artists pass drops its two trailing global-concept rows
+    before the mean/std — this API takes the group rows only, which is that
+    exclusion done properly. Returns (name_or_'none', z_of_argmax)."""
+    s = np.asarray(sims, np.float64)
+    names = list(concept_names)
+    table = ZSCORE_CONCEPT_THRESHOLDS if thresholds is None else thresholds
+    std = s.std()
+    z = (s - s.mean()) / (std if std else 1.0)
+    i = int(np.argmax(z))
+    fired = z[i] > table.get(names[i], 2.5)
+    return (names[i] if fired else "none", float(z[i]))
+
+
 def routing_confusion(decisions: np.ndarray, has_concept: np.ndarray,
                       prompts=None) -> dict:
     """The reference's three-bucket routing accounting

@@ -429,3 +429,30 @@ def test_routing_confusion_buckets():
     assert out == {"n": 4, "accuracy": 0.5, "false_removal": 1,
                    "neg_removal": 1, "false_removal_prompts": ["b"],
                    "neg_removal_prompts": ["c"]}
+
+
+def test_zscore_concept_decision():
+    """Group z-score rule with the reference's per-concept thresholds
+    (reference: benchmark_utils.py:55-73, 255-277)."""
+    from diffusion_models_moe_tpu.benchmarks.clip_metrics import (
+        ZSCORE_CONCEPT_THRESHOLDS, zscore_concept_decision)
+
+    assert ZSCORE_CONCEPT_THRESHOLDS["Van Gogh"] == 2.5
+    assert ZSCORE_CONCEPT_THRESHOLDS["naked"] == 1.0
+
+    # one strong outlier among artists: z > 2.5 fires
+    sims = np.array([0.2] * 9 + [0.9])
+    names = [f"artist{i}" for i in range(9)] + ["Van Gogh"]
+    name, z = zscore_concept_decision(sims, names)
+    assert name == "Van Gogh" and z > 2.5
+    # flat group: z ~ 0, nothing fires (and std=0 divides by 1, not 0)
+    name, _ = zscore_concept_decision(np.ones(4), ["Van Gogh"] * 4)
+    assert name == "none"
+    # nudity threshold is looser (1.0)
+    name, z = zscore_concept_decision(np.array([0.2, 0.2, 0.5]),
+                                      ["sexy", "hot", "naked"])
+    assert name == "naked" and 1.0 < z < 2.5
+    # unknown concepts default to the strict 2.5
+    name, _ = zscore_concept_decision(np.array([0.2, 0.2, 0.5]),
+                                      ["a", "b", "c"])
+    assert name == "none"
