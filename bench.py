@@ -116,12 +116,38 @@ def _init_watchdog(timeout_s: float = 1200.0) -> None:
 
 
 def _probe() -> None:
-    """Trivial jit + host fetch. Fails fast (with evidence) if the TPU service
-    is wedged, before we sink minutes into the UNet compile."""
+    """Trivial jit + host fetch under a deadline. Fails fast (with evidence)
+    if the TPU service is wedged, before we sink minutes into the UNet
+    compile. The deadline matters: a wedged tunnel has been observed to hang
+    EXECUTION (not just init — 2026-08-19: devices() returned in 0.3s, the
+    probe matmul never completed), which would otherwise eat the driver's
+    whole timeout with no JSON evidence. Legit probes have been observed up
+    to 801s on a loaded host (and 386s on 2026-08-19 on an idle one — the
+    tunnel itself can be slow), so the default deadline sits above both.
+    DMOE_PROBE_TIMEOUT overrides."""
+    import threading
+    timeout_s = float(os.environ.get("DMOE_PROBE_TIMEOUT", 900.0))
+    done = threading.Event()
+    box: list = []
+
+    def _run():
+        try:
+            x = jax.jit(lambda a: (a @ a).sum())(
+                jnp.ones((256, 256), jnp.bfloat16))
+            box.append(float(np.asarray(jax.device_get(x))))
+        except Exception as e:
+            box.append(e)
+        finally:
+            done.set()
+
     t0 = time.perf_counter()
-    x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256), jnp.bfloat16))
-    val = float(np.asarray(jax.device_get(x)))
-    _log(f"# probe ok ({val:.0f}) {time.perf_counter()-t0:.1f}s "
+    threading.Thread(target=_run, daemon=True).start()
+    if not done.wait(timeout_s):
+        raise InitHang(f"probe matmul incomplete after {timeout_s:.0f}s "
+                       "(wedged TPU execution?)")
+    if isinstance(box[0], Exception):
+        raise box[0]
+    _log(f"# probe ok ({box[0]:.0f}) {time.perf_counter()-t0:.1f}s "
          f"backend={jax.default_backend()}")
 
 

@@ -52,3 +52,36 @@ def test_bench_rejects_zero_batch_and_steps():
     for kwargs in ({"batch": 0}, {"steps": 0}):
         with pytest.raises(ValueError):
             bench.main(**kwargs)
+
+
+def test_probe_watchdog_raises_on_hang(monkeypatch):
+    """A wedged tunnel can hang EXECUTION, not just init (2026-08-19:
+    devices() returned in 0.3s, the probe matmul never completed). The probe
+    must enforce its own deadline and raise InitHang (which skips the
+    fresh-process fallback chain — every leg would hang the same way)."""
+    import jax
+
+    monkeypatch.setenv("DMOE_PROBE_TIMEOUT", "0.05")
+
+    def _hang(*a, **k):
+        import time as _t
+        _t.sleep(5.0)
+
+    monkeypatch.setattr(jax, "jit", lambda f: _hang)
+    with pytest.raises(bench.InitHang):
+        bench._probe()
+
+
+def test_probe_propagates_backend_errors(monkeypatch):
+    """A probe that ERRORS (vs hangs) must surface the original exception so
+    the fallback chain CAN run (a kernel fault is leg-specific)."""
+    import jax
+
+    def _boom(f):
+        def inner(*a, **k):
+            raise RuntimeError("kernel fault")
+        return inner
+
+    monkeypatch.setattr(jax, "jit", _boom)
+    with pytest.raises(RuntimeError, match="kernel fault"):
+        bench._probe()
