@@ -367,5 +367,11 @@ if __name__ == "__main__":
             }), flush=True)
         # propagate failure: a fallback LEG that crashed must exit nonzero or
         # the parent's returncode==0 check would treat it as success and stop
-        # the chain early (and callers could not script against the bench)
-        sys.exit(rc)
+        # the chain early (and callers could not script against the bench).
+        # os._exit, not sys.exit: a hung probe/init daemon thread makes normal
+        # interpreter teardown abort in the TPU runtime's C++ atexit path
+        # ("terminate called / FATAL: exception not rethrown") AFTER the JSON
+        # line — skip teardown entirely once the evidence is out.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
