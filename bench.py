@@ -151,6 +151,24 @@ def _probe() -> None:
          f"backend={jax.default_backend()}")
 
 
+def _probe_with_retries() -> None:
+    """Wedges are often transient (the service digests killed clients'
+    server-side work and recovers); a second patient attempt after a pause has
+    been observed to succeed where the first hung. DMOE_PROBE_ATTEMPTS
+    (default 2) bounds total spend to ~attempts*(timeout+pause)."""
+    attempts = int(os.environ.get("DMOE_PROBE_ATTEMPTS", 2))
+    for i in range(attempts):
+        try:
+            _probe()
+            return
+        except InitHang:
+            if i == attempts - 1:
+                raise
+            _log(f"# probe attempt {i + 1}/{attempts} hung; "
+                 "pausing 120s before retry")
+            time.sleep(120)
+
+
 def main(batch: int | None = None, steps: int | None = None,
          runs: int = 3) -> None:
     from diffusion_models_moe_tpu import StableDiffusionPipeline, sd15_config
@@ -173,7 +191,7 @@ def main(batch: int | None = None, steps: int | None = None,
         raise ValueError(f"batch/steps must be >=1, got {batch}/{steps}")
 
     _init_watchdog()
-    _probe()
+    _probe_with_retries()
 
     import dataclasses
     degraded = os.environ.get("DMOE_BENCH_FALLBACK", "0") == "1"

@@ -85,3 +85,34 @@ def test_probe_propagates_backend_errors(monkeypatch):
     monkeypatch.setattr(jax, "jit", _boom)
     with pytest.raises(RuntimeError, match="kernel fault"):
         bench._probe()
+
+
+def test_probe_retries_then_succeeds(monkeypatch):
+    """A transiently wedged tunnel (first probe hangs, second completes) must
+    not fail the bench — _probe_with_retries pauses and retries."""
+    calls = []
+
+    def fake_probe():
+        calls.append(1)
+        if len(calls) == 1:
+            raise bench.InitHang("hung")
+
+    monkeypatch.setattr(bench, "_probe", fake_probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench._probe_with_retries()
+    assert len(calls) == 2
+
+
+def test_probe_retries_exhausted_reraises(monkeypatch):
+    monkeypatch.setenv("DMOE_PROBE_ATTEMPTS", "3")
+    calls = []
+
+    def fake_probe():
+        calls.append(1)
+        raise bench.InitHang("hung")
+
+    monkeypatch.setattr(bench, "_probe", fake_probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    with pytest.raises(bench.InitHang):
+        bench._probe_with_retries()
+    assert len(calls) == 3
