@@ -26,7 +26,15 @@ Resilience (round-1 postmortem, BENCH_r01.json rc=1 kernel fault):
    chain (a crashed TPU worker can poison the in-process backend):
    1024/1024 -> 512/512 -> flash off; only the flash-off leg is flagged
    "degraded": true ("fallback" records the leg either way);
- - a JSON line is always emitted, even on total failure (value 0.0 + "error").
+ - a JSON line is always emitted, even on total failure (value 0.0 + "error");
+ - a host-wide flock (/tmp/dmoe_tpu.lock) serializes TPU jobs so no watcher or
+   second bench can contend with a timed run (round-2's driver number came in
+   20% below the builder's with no way to tell why — VERDICT r2 weak #1);
+ - the JSON carries an "evidence" block: per-run wall times, median/best/mean,
+   spread + "contended" flag, init/probe/compile/rtt latencies (the tunnel
+   fingerprint), load averages, timestamp, commit, and the DMOE_* knob set.
+   The headline value is batch/median(run_times) over DMOE_RUNS (default 5)
+   timed runs — median, so one contended run cannot move it.
 
 Env knobs: DMOE_FLASH=0 (disable flash), DMOE_FUSED=1/0 (force the Pallas
 routing kernel on/off; default follows the config — OFF, since the XLA
@@ -61,6 +69,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_LOCK_FD = None  # module-global: held for process lifetime once acquired
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
@@ -70,6 +80,70 @@ REFERENCE_HOOKED_IMGS_PER_SEC = 0.25  # estimated, not measured — see module d
 
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _acquire_tpu_lock() -> float:
+    """One heavy TPU job at a time (ops memory: parallel kills once wedged the
+    tunnel >1h; round-2's driver number was 20% below the builder's, with a
+    concurrent watcher job the plausible culprit). A host-wide flock
+    serializes every bench/quality/watcher process; crashed holders release
+    automatically. Returns seconds spent waiting. DMOE_LOCK_TIMEOUT bounds the
+    wait; DMOE_NO_LOCK=1 opts out (nested: fallback legs inherit the parent's
+    release, see _fallback)."""
+    global _LOCK_FD
+    if os.environ.get("DMOE_NO_LOCK", "0") == "1":
+        return 0.0
+    import fcntl
+    path = os.environ.get("DMOE_LOCK_FILE", "/tmp/dmoe_tpu.lock")
+    # "a", not "w": open() must not truncate the current holder's pid record
+    fd = open(path, "a")
+    t0 = time.perf_counter()
+    deadline = t0 + float(os.environ.get("DMOE_LOCK_TIMEOUT", 7200))
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError:
+            if time.perf_counter() > deadline:
+                fd.close()
+                raise InitHang("TPU lock busy past DMOE_LOCK_TIMEOUT — "
+                               "another TPU job is running")
+            time.sleep(10.0)
+    fd.truncate(0)
+    fd.write(f"{os.getpid()}\n")
+    fd.flush()
+    _LOCK_FD = fd  # keep open: flock is released on close/exit
+    waited = time.perf_counter() - t0
+    if waited > 1.0:
+        _log(f"# tpu lock acquired after {waited:.0f}s wait")
+    return waited
+
+
+def _release_tpu_lock() -> None:
+    global _LOCK_FD
+    if _LOCK_FD is not None:
+        try:
+            _LOCK_FD.close()
+        except OSError:
+            pass
+        _LOCK_FD = None
+
+
+def _loadavg() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return -1.0
+
+
+def _git_commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return ""
 
 
 def _dp_devices(batch: int, avail: int) -> int:
@@ -84,7 +158,7 @@ class InitHang(RuntimeError):
     rather than error; observed 2026-08-18 after killed clients)."""
 
 
-def _init_watchdog(timeout_s: float = 1200.0) -> None:
+def _init_watchdog(timeout_s: float = 1200.0) -> float:
     """Initialize the backend in a daemon thread with a deadline.
 
     jax.devices() on this image's axon tunnel can block indefinitely when the
@@ -112,10 +186,12 @@ def _init_watchdog(timeout_s: float = 1200.0) -> None:
                        "(wedged TPU tunnel?)")
     if err:
         raise err[0]
-    _log(f"# backend init {time.perf_counter()-t0:.1f}s")
+    dt = time.perf_counter() - t0
+    _log(f"# backend init {dt:.1f}s")
+    return dt
 
 
-def _probe() -> None:
+def _probe() -> float:
     """Trivial jit + host fetch under a deadline. Fails fast (with evidence)
     if the TPU service is wedged, before we sink minutes into the UNet
     compile. The deadline matters: a wedged tunnel has been observed to hang
@@ -145,32 +221,41 @@ def _probe() -> None:
     if not done.wait(timeout_s):
         raise InitHang(f"probe matmul incomplete after {timeout_s:.0f}s "
                        "(wedged TPU execution?)")
+    # a BaseException in the worker leaves box empty while done is set —
+    # treat that as a probe failure, not an IndexError
+    if not box:
+        raise InitHang("probe worker died without a result")
     if isinstance(box[0], Exception):
         raise box[0]
-    _log(f"# probe ok ({box[0]:.0f}) {time.perf_counter()-t0:.1f}s "
+    dt = time.perf_counter() - t0
+    _log(f"# probe ok ({box[0]:.0f}) {dt:.1f}s "
          f"backend={jax.default_backend()}")
+    return dt
 
 
-def _probe_with_retries() -> None:
+def _probe_with_retries() -> float:
     """Wedges are often transient (the service digests killed clients'
     server-side work and recovers); a second patient attempt after a pause has
     been observed to succeed where the first hung. DMOE_PROBE_ATTEMPTS
-    (default 2) bounds total spend to ~attempts*(timeout+pause)."""
-    attempts = int(os.environ.get("DMOE_PROBE_ATTEMPTS", 2))
+    (default 2, clamped >=1 — 0 must not silently skip the probe) bounds total
+    spend to ~attempts*(timeout+pause). Returns the successful probe's
+    latency — the tunnel-health fingerprint recorded in the evidence block
+    (386-801s observed normal; >900 is a wedge)."""
+    attempts = max(1, int(os.environ.get("DMOE_PROBE_ATTEMPTS", 2)))
     for i in range(attempts):
         try:
-            _probe()
-            return
+            return _probe()
         except InitHang:
             if i == attempts - 1:
                 raise
             _log(f"# probe attempt {i + 1}/{attempts} hung; "
                  "pausing 120s before retry")
             time.sleep(120)
+    raise AssertionError("unreachable")
 
 
 def main(batch: int | None = None, steps: int | None = None,
-         runs: int = 3) -> None:
+         runs: int | None = None) -> None:
     from diffusion_models_moe_tpu import StableDiffusionPipeline, sd15_config
     from diffusion_models_moe_tpu.config import sdxl_config
     from diffusion_models_moe_tpu.moefication.moefy import build_moe_interventions
@@ -187,11 +272,21 @@ def main(batch: int | None = None, steps: int | None = None,
     # silently benchmark the default shape under the requested label.
     batch = (2 if lcm else 8) if batch is None else batch
     steps = (4 if lcm else 50) if steps is None else steps
+    runs = max(1, int(os.environ.get("DMOE_RUNS", 5))) if runs is None \
+        else runs
     if batch < 1 or steps < 1:
         raise ValueError(f"batch/steps must be >=1, got {batch}/{steps}")
 
-    _init_watchdog()
-    _probe_with_retries()
+    # round-2 postmortem (VERDICT weak #1): the driver's 0.8644 vs the
+    # builder's 1.0752 same-config spread could not be attributed — no per-run
+    # times, no tunnel fingerprint, no contention guard. Everything below
+    # exists to make the next spread diagnosable: a host-wide lock so no
+    # second TPU job overlaps, per-run wall times, probe latency, load
+    # averages, and a median aggregate robust to one contended run.
+    lock_wait_s = _acquire_tpu_lock()
+    load_start = _loadavg()
+    init_s = _init_watchdog()
+    probe_s = _probe_with_retries()
 
     import dataclasses
     degraded = os.environ.get("DMOE_BENCH_FALLBACK", "0") == "1"
@@ -295,13 +390,29 @@ def main(batch: int | None = None, steps: int | None = None,
     # warmup/compile
     t_c = time.perf_counter()
     run(jax.random.PRNGKey(2))
-    _log(f"# warmup (compile) {time.perf_counter()-t_c:.1f}s")
-    t0 = time.perf_counter()
+    compile_s = time.perf_counter() - t_c
+    _log(f"# warmup (compile) {compile_s:.1f}s")
+    run_times = []
     for i in range(runs):
+        t0 = time.perf_counter()
         run(jax.random.PRNGKey(3 + i))
-    dt = time.perf_counter() - t0
+        run_times.append(time.perf_counter() - t0)
+        _log(f"# run {i + 1}/{runs}: {run_times[-1]:.3f}s "
+             f"({batch / run_times[-1]:.4f} img/s)")
+    # post-run round-trip probe: a tiny jit fetch whose latency fingerprints
+    # the tunnel AFTER the timed region (a slow tunnel inflates every run; a
+    # transiently contended host inflates some)
+    t_r = time.perf_counter()
+    _ = float(np.asarray(jax.device_get(
+        jax.jit(lambda a: a.sum())(jnp.ones((8, 8), jnp.bfloat16)))))
+    rtt_s = time.perf_counter() - t_r
+    load_end = _loadavg()
 
-    imgs_per_sec = batch * runs / dt
+    med = float(np.median(run_times))
+    spread = (max(run_times) - min(run_times)) / med if med > 0 else 0.0
+    # median, not mean: one contended run out of N must not move the
+    # headline (round-2's 20% driver-vs-builder spread, VERDICT weak #1)
+    imgs_per_sec = batch / med
     variant = " int8" if quant else ""
     if wino:
         variant += f" winograd-m{os.environ.get('DMOE_WINO_TILE', '2')}"
@@ -320,6 +431,26 @@ def main(batch: int | None = None, steps: int | None = None,
         # nothing) so the LCM mode reports no multiple.
         "vs_baseline": 0.0 if lcm else
         round(imgs_per_sec / REFERENCE_HOOKED_IMGS_PER_SEC, 2),
+        # provenance + variance evidence (VERDICT r2 weak #1/#5): enough to
+        # reconcile any future driver-vs-builder spread without a rerun
+        "evidence": {
+            "run_s": [round(t, 3) for t in run_times],
+            "best_imgs_per_sec": round(batch / min(run_times), 4),
+            "mean_imgs_per_sec": round(batch * len(run_times)
+                                       / sum(run_times), 4),
+            "spread": round(spread, 4),
+            "contended": spread > 0.15 or load_end > 2.5,
+            "init_s": round(init_s, 1),
+            "probe_s": round(probe_s, 1),
+            "compile_s": round(compile_s, 1),
+            "rtt_s": round(rtt_s, 3),
+            "lock_wait_s": round(lock_wait_s, 1),
+            "loadavg": [round(load_start, 2), round(load_end, 2)],
+            "ts_unix": int(time.time()),
+            "commit": _git_commit(),
+            "knobs": {k: v for k, v in sorted(os.environ.items())
+                      if k.startswith("DMOE_")},
+        },
     }
     if degraded:
         out["degraded"] = True
@@ -340,13 +471,24 @@ _FALLBACK_CHAIN = [
 
 def _fallback(argv: list[str], err: Exception) -> int:
     _log(f"# primary bench failed: {type(err).__name__}: {str(err)[:300]}")
+    # the parent may hold the TPU lock from its failed attempt; a child that
+    # blocks on it while the parent waits on the child is a deadlock
+    _release_tpu_lock()
+    # leg timeout must exceed the child's own worst-case pre-bench stall
+    # (init watchdog + probe attempts * (timeout + pause)) plus compile+run
+    # headroom, or a maximally wedged leg is killed before it can emit its
+    # JSON evidence line (ADVICE r2)
+    attempts = max(1, int(os.environ.get("DMOE_PROBE_ATTEMPTS", 2)))
+    budget = (float(os.environ.get("DMOE_INIT_TIMEOUT", 1200))
+              + attempts * (float(os.environ.get("DMOE_PROBE_TIMEOUT", 900))
+                            + 120.0) + 1500.0)
     for leg, extra in _FALLBACK_CHAIN:
         _log(f"# retrying in fresh process: {leg}")
         env = dict(os.environ, DMOE_BENCH_LEG=leg, **extra)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *argv],
-                env=env, timeout=3000)
+                env=env, timeout=budget)
             if r.returncode == 0:
                 return 0
         except Exception as e2:  # timeout or spawn failure
@@ -363,6 +505,15 @@ if __name__ == "__main__":
         kwargs["steps"] = int(sys.argv[2])
     try:
         main(**kwargs)
+        # success must also skip interpreter teardown: after a probe RETRY
+        # succeeds (18ab4bb's scenario) the first attempt's hung daemon
+        # thread survives into teardown, which can abort in the TPU
+        # runtime's C++ atexit path with rc!=0 AFTER the success JSON —
+        # the parent's returncode check would then discard a good result
+        # (ADVICE r2, medium).
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     except Exception as e:
         rc = 1
         if isinstance(e, InitHang):

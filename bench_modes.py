@@ -34,7 +34,9 @@ KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_PAD_PROJ",
 
 MODES: dict[str, dict[str, str]] = {
     "plain": {},
+    "plain16": {},        # exact bf16 at batch 16 — throughput-vs-batch leg
     "pad_proj": {"DMOE_PAD_PROJ": "1"},
+    "pad16": {"DMOE_PAD_PROJ": "1"},
     "wino2": {"DMOE_WINOGRAD": "1"},
     "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4"},
     "wino2_pad": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
@@ -50,6 +52,13 @@ MODES: dict[str, dict[str, str]] = {
     "lcm_sdxl": {"DMOE_BENCH_MODE": "lcm-sdxl"},
     "lcm_sdxl_serve": {"DMOE_BENCH_MODE": "lcm-sdxl", "DMOE_QUANT": "1",
                        "DMOE_WINOGRAD": "1"},
+}
+
+# extra argv per leg (bench.py takes [batch [steps]]); legs not listed run
+# the bench defaults
+MODE_ARGS: dict[str, list[str]] = {
+    "plain16": ["16"],
+    "pad16": ["16"],
 }
 
 
