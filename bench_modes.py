@@ -47,6 +47,11 @@ MODES: dict[str, dict[str, str]] = {
                        "DMOE_PAD_PROJ": "1"},
     "dc2": {"DMOE_DEEP_CACHE": "2"},
     "dc3": {"DMOE_DEEP_CACHE": "3"},
+    # dc3_serve bisection legs (round-2 collapse: the full composition
+    # measured 0.6837 vs dc3-alone 1.4279 — which partner kills it?)
+    "dc3_int8": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1"},
+    "dc3_wino": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1"},
+    "dc3_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_PAD_PROJ": "1"},
     "dc3_serve": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
                   "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
     "lcm_sdxl": {"DMOE_BENCH_MODE": "lcm-sdxl"},
@@ -80,7 +85,7 @@ def run_leg(name: str, extra_env: dict[str, str],
     proc = subprocess.Popen(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "bench.py")],
+                      "bench.py"), *MODE_ARGS.get(name, [])],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True, start_new_session=True)
     try:
