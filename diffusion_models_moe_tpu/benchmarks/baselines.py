@@ -61,26 +61,62 @@ BASELINES: dict[str, BaselineSpec] = {
 }
 
 
-def load_baseline(name: str, snapshot: str, dtype=jnp.bfloat16):
+def load_baseline(name: str, snapshot: str, dtype=jnp.bfloat16,
+                  edited_unet: Optional[str] = None,
+                  delta: Optional[str] = None, config=None):
     """-> (pipe, params, generate_kwargs). `snapshot` is a local
-    diffusers-layout directory for the baseline's checkpoint.
+    diffusers-layout directory for the BASE checkpoint (the baselines edit
+    SD1.4 — reference: eval_coco.py:96-101 builds the pipeline from
+    CompVis/stable-diffusion-v1-4 and swaps the UNet).
+
+    `edited_unet`: path to a whole-UNet state-dict file — the UCE/ESD
+    publishing format ('erased-...-method_replace.pt',
+    'diffusers-nudity-ESDu1-UNET.pt'; reference: eval_coco.py:70-101,
+    i2p_eval.py:163-168). Replaces the snapshot's UNet entirely.
+
+    `delta`: path to a Concept-Ablation delta.bin — {'unet': partial state
+    dict, optional 'text_encoder': full state dict} applied OVER the base
+    (reference: i2p_eval.py:142-152). Mutually exclusive with `edited_unet`.
 
     NOTE: 'sd2' is the 768 v-prediction model (the reference's comparison
     model, utils.py:91-95); point an SD2-base (512, epsilon) checkpoint at
     'sd2-base' instead — v-pred decoding of an epsilon model produces garbage
     with no error."""
+    import os
+
     from diffusion_models_moe_tpu import (StableDiffusionPipeline,
                                           sd15_config, sd21_config)
-    from diffusion_models_moe_tpu.weights.port import port_pipeline
+    from diffusion_models_moe_tpu.weights.port import (
+        load_delta_bin, port_clip_text_state_dict, port_edited_unet,
+        port_pipeline, port_unet)
 
     spec = BASELINES[name]
     if spec.kind == "sd2x":
-        cfg = sd21_config(dtype=dtype, v_prediction=spec.v_prediction)
+        cfg = config or sd21_config(dtype=dtype,
+                                    v_prediction=spec.v_prediction)
         pipe = StableDiffusionPipeline(cfg)
         return pipe, port_pipeline(snapshot, cfg), {}
-    cfg = sd15_config(dtype=dtype)
+    # `config` overrides the sd15 preset — a tiny-dims config lets CI
+    # exercise the full loader path against fixture snapshots
+    cfg = config or sd15_config(dtype=dtype)
     pipe = StableDiffusionPipeline(cfg)
+    if edited_unet and delta:
+        raise ValueError("pass either edited_unet (UCE/ESD whole-UNet file) "
+                         "or delta (Concept-Ablation delta.bin), not both")
+    if (edited_unet or delta) and spec.kind != "sd15-edited":
+        raise ValueError(f"baseline '{name}' ({spec.kind}) does not take an "
+                         "edited-UNet checkpoint")
     params = port_pipeline(snapshot, cfg)
+    if edited_unet:
+        params["unet"] = port_edited_unet(edited_unet, cfg.unet)
+    elif delta:
+        bundle = load_delta_bin(delta)
+        if "unet" in bundle:
+            params["unet"] = port_unet(os.path.join(snapshot, "unet"),
+                                       cfg.unet, overlay=bundle["unet"])
+        if "text_encoder" in bundle:
+            params["text_encoder"] = port_clip_text_state_dict(
+                bundle["text_encoder"], cfg.text_encoder)
     if spec.kind == "sd15-sld":
         # protocol drivers call sld_generate instead of pipe.generate
         return pipe, params, {"use_sld": True}

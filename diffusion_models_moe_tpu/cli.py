@@ -764,14 +764,13 @@ def cmd_check_snapshot(args):
         report["components"][name] = entry
 
     # --- exact UNet key census -------------------------------------------
-    unet_entry = report["components"]["unet"]
-    if unet_entry["present"]:
+    def expected_unet_keys(u):
+        """Diffusers-layout key set for this topology, via a tiny-dim init +
+        export roundtrip: shrink dims, PRESERVE topology (incl. channel-
+        equality structure, which decides conv_shortcut key presence) — key
+        names are dim-independent."""
         from diffusion_models_moe_tpu.models.unet import UNet2DCondition
         from diffusion_models_moe_tpu.weights.export import export_unet
-        u = cfg.unet
-        # shrink dims, PRESERVE topology (incl. channel-equality structure,
-        # which decides conv_shortcut key presence) — key names are
-        # dim-independent
         scale = u.block_out_channels[0] // 8
         tiny = dataclasses.replace(
             u, block_out_channels=tuple(c // scale
@@ -788,7 +787,14 @@ def cmd_check_snapshot(args):
         params = UNet2DCondition(tiny).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, u.sample_channels)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 16)), **kw)["params"]
-        expected = set(export_unet(params, tiny))
+        return set(export_unet(params, tiny))
+
+    unet_entry = report["components"]["unet"]
+    expected = None
+    if unet_entry["present"] or getattr(args, "baseline_unet", None):
+        expected = expected_unet_keys(cfg.unet)
+    if unet_entry["present"]:
+        u = cfg.unet
         got = set(tensor_keys(os.path.join(args.snapshot,
                                            expected_files["unet"])))
         unet_entry["missing_keys"] = sorted(expected - got)
@@ -867,8 +873,27 @@ def cmd_check_snapshot(args):
                 entry["port_ok"] = False
                 entry["port_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # --- baseline edited-UNet file (UCE/ESD publishing format) ------------
+    if getattr(args, "baseline_unet", None):
+        from diffusion_models_moe_tpu.weights.port import (
+            port_edited_unet, validate_edited_unet)
+        entry = validate_edited_unet(args.baseline_unet, cfg.unet,
+                                     expected_keys=expected)
+        if args.deep and entry.get("keys_ok", entry.get("load_ok")):
+            try:
+                tree = port_edited_unet(args.baseline_unet, cfg.unet)
+                entry["ported_params"] = int(sum(
+                    np.asarray(x).size
+                    for x in jax.tree_util.tree_leaves(tree)))
+                entry["port_ok"] = True
+            except Exception as e:  # noqa: BLE001 — doctor reports
+                entry["port_ok"] = False
+                entry["port_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        report["components"]["baseline_unet"] = entry
+
     report["ok"] = all(c.get("present", True) and c.get("keys_ok", True)
                        and c.get("shapes_ok", True) and c.get("port_ok", True)
+                       and c.get("load_ok", True)
                        for c in report["components"].values())
     print(json.dumps(report, indent=2))
     return report
@@ -1123,6 +1148,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cpu", action="store_true")
     sp.add_argument("--deep", action="store_true",
                     help="run the real porters component by component")
+    sp.add_argument("--baseline-unet", default=None,
+                    help="also validate an edited-UNet state-dict file "
+                         "(the UCE/ESD publishing format: .pt/.bin/"
+                         ".safetensors) against the --kind topology")
     sp.set_defaults(fn=cmd_check_snapshot)
 
     sp = sub.add_parser("train"); common(sp)

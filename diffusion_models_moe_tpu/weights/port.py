@@ -86,13 +86,29 @@ def _transformer2d(sd, p, depth: int = 1):
     return out
 
 
-def port_unet(snapshot_dir: str, cfg: UNetConfig) -> dict:
+def port_unet(snapshot_dir: str, cfg: UNetConfig,
+              overlay: dict | None = None) -> dict:
     """diffusers UNet2DConditionModel safetensors -> UNet2DCondition params.
 
     Requires 1x1 proj_in/out (SD1.x uses Linear there in modern diffusers; older
-    conv1x1 checkpoints are squeezed)."""
+    conv1x1 checkpoints are squeezed). `overlay` patches individual torch-layout
+    tensors over the snapshot before conversion — the Concept-Ablation
+    delta.bin publishing format is a partial UNet state dict applied over the
+    stock SD1.4 checkpoint (reference: benchmarks/i2p_eval.py:142-152)."""
     path = os.path.join(snapshot_dir, "diffusion_pytorch_model.safetensors")
-    sd = _squeeze_proj(_load_safetensors(path))
+    sd = _load_safetensors(path)
+    if overlay:
+        sd.update(overlay)
+    return port_unet_state_dict(sd, cfg)
+
+
+def port_unet_state_dict(sd: dict, cfg: UNetConfig) -> dict:
+    """Flat torch-layout UNet state dict (diffusers key names) ->
+    UNet2DCondition params. The entry point for edited-UNet baseline
+    checkpoints — UCE/ESD publish whole-UNet state dicts loaded via
+    `unet.load_state_dict(torch.load(path))` (reference:
+    benchmarks/eval_coco.py:70-101, i2p_eval.py:134-168)."""
+    sd = _squeeze_proj(sd)
     params: dict = {
         "conv_in": _conv(sd, "conv_in"),
         "conv_out": _conv(sd, "conv_out"),
@@ -150,10 +166,113 @@ def _squeeze_proj(sd: dict) -> dict:
     return out
 
 
+def load_edited_unet_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a published edited-UNet checkpoint file into a flat numpy state
+    dict. Accepts the two formats the baselines publish in — torch-pickled
+    `.pt`/`.bin` (UCE: 'erased-...-method_replace.pt', ESD:
+    'diffusers-nudity-ESDu1-UNET.pt'; reference: benchmarks/eval_coco.py:70-81,
+    i2p_eval.py:163-168) and `.safetensors`. fp16 tensors widen to fp32 (the
+    models cast to their configured dtype at apply time); a uniform 'unet.'
+    key prefix (some re-exports wrap the state dict) is stripped."""
+    if path.endswith(".safetensors"):
+        sd = _load_safetensors(path)
+    else:
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        if not isinstance(obj, dict):
+            raise ValueError(f"{path}: expected a state dict, got "
+                             f"{type(obj).__name__}")
+        # {'state_dict': {...}} wrappers (lightning-style exports)
+        if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+            obj = obj["state_dict"]
+        sd = {k: np.asarray(v.detach().to(torch.float32).cpu().numpy()
+                            if hasattr(v, "detach") else v)
+              for k, v in obj.items()}
+    sd = {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+          for k, v in sd.items()}
+    if sd and all(k.startswith("unet.") for k in sd):
+        sd = {k[len("unet."):]: v for k, v in sd.items()}
+    return sd
+
+
+def port_edited_unet(path: str, cfg: UNetConfig) -> dict:
+    """Edited-UNet checkpoint file (UCE/ESD publishing format) ->
+    UNet2DCondition params."""
+    return port_unet_state_dict(load_edited_unet_state_dict(path), cfg)
+
+
+def load_delta_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
+    """Load a Concept-Ablation delta.bin: {'unet': PARTIAL torch-layout UNet
+    state dict, optional 'text_encoder': full CLIPTextModel state dict}
+    (reference: benchmarks/i2p_eval.py:142-152 copies delta['unet'] entries
+    over named_parameters and load_state_dict's delta['text_encoder'])."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(obj, dict) or not ({"unet", "text_encoder"} & set(obj)):
+        raise ValueError(f"{path}: expected a delta bundle with 'unet' "
+                         "and/or 'text_encoder' sub-dicts")
+
+    def to_np(d):
+        return {k: np.asarray(v.detach().to(torch.float32).cpu().numpy()
+                              if hasattr(v, "detach") else v, np.float32)
+                for k, v in d.items()}
+    return {k: to_np(v) for k, v in obj.items()
+            if k in ("unet", "text_encoder")}
+
+
+def validate_edited_unet(path: str, cfg: UNetConfig,
+                         expected_keys: set[str] | None = None) -> dict:
+    """Census an edited-UNet checkpoint BEFORE a long eval run: exact key diff
+    against the expected diffusers UNet topology plus the same sentinel shape
+    checks the snapshot doctor runs (cross_attention_dim / sample_channels
+    disambiguate sd15 vs sd21 vs sdxl, whose key NAMES are identical).
+    Returns a report dict; raises nothing — doctors report."""
+    report: dict = {"path": path, "present": os.path.exists(path)}
+    if not report["present"]:
+        return report
+    try:
+        sd = load_edited_unet_state_dict(path)
+    except Exception as e:  # noqa: BLE001 — doctor reports, not raises
+        report["load_ok"] = False
+        report["load_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        return report
+    report["load_ok"] = True
+    report["n_tensors"] = len(sd)
+    if expected_keys is not None:
+        got = set(sd)
+        report["missing_keys"] = sorted(expected_keys - got)
+        report["unexpected_keys"] = sorted(got - expected_keys)
+        report["keys_ok"] = not report["missing_keys"]
+    checks = {}
+    k = "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight"
+    if k in sd:
+        checks["cross_attention_dim"] = {
+            "got": int(sd[k].shape[1]), "expected": cfg.cross_attention_dim}
+    if "conv_in.weight" in sd:
+        checks["sample_channels"] = {
+            "got": int(sd["conv_in.weight"].shape[1]),
+            "expected": cfg.sample_channels}
+        checks["block_out_channels[0]"] = {
+            "got": int(sd["conv_in.weight"].shape[0]),
+            "expected": cfg.block_out_channels[0]}
+    report["shape_checks"] = checks
+    report["shapes_ok"] = all(c["got"] == c["expected"]
+                              for c in checks.values())
+    return report
+
+
 def port_clip_text(snapshot_dir: str, cfg: CLIPTextConfig) -> dict:
     """transformers CLIPTextModel safetensors -> CLIPTextEncoder params."""
     path = os.path.join(snapshot_dir, "model.safetensors")
-    sd = _load_safetensors(path)
+    return port_clip_text_state_dict(_load_safetensors(path), cfg)
+
+
+def port_clip_text_state_dict(sd: dict, cfg: CLIPTextConfig) -> dict:
+    """Flat torch-layout CLIPTextModel state dict -> CLIPTextEncoder params
+    (the Concept-Ablation delta.bin carries a whole text_encoder state dict —
+    reference: benchmarks/i2p_eval.py:147-149)."""
     pre = "text_model."
     if not any(k.startswith(pre) for k in sd):
         pre = ""

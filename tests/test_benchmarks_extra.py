@@ -412,3 +412,108 @@ def test_vqa_score_images_plain_judge_loops():
     r = sc.get_results()["after_removal"]
     assert r["object_score"] == 0.5  # 'cat' re-identified, 'dog' not
     assert r["style_score"] == 1.0   # label 1 expected, judge says 1
+
+
+def _tiny_snapshot(root):
+    """Complete diffusers-layout snapshot at tiny_config dims (unet + vae +
+    transformers-layout text_encoder) — the fixture every baseline loader
+    path runs against in CI."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from safetensors.numpy import save_file
+    from transformers import CLIPTextConfig as HFCLIPConfig
+    from transformers import CLIPTextModel
+
+    from diffusion_models_moe_tpu import tiny_config
+    from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+    from diffusion_models_moe_tpu.models.vae import VAEDecoder, VAEEncoder
+    from diffusion_models_moe_tpu.weights.export import (export_unet,
+                                                         export_vae_decoder,
+                                                         export_vae_encoder)
+
+    cfg = tiny_config()
+    for sub in ("unet", "vae", "text_encoder", "tokenizer"):
+        (root / sub).mkdir(parents=True)
+    uparams = UNet2DCondition(cfg.unet).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 8, cfg.unet.cross_attention_dim)))["params"]
+    unet_sd = export_unet(uparams, cfg.unet)
+    save_file(unet_sd,
+              str(root / "unet" / "diffusion_pytorch_model.safetensors"))
+    vdec = VAEDecoder(cfg.vae).init(jax.random.PRNGKey(1),
+                                    jnp.zeros((1, 4, 4, 4)))["params"]
+    venc = VAEEncoder(cfg.vae).init(jax.random.PRNGKey(2),
+                                    jnp.zeros((1, 32, 32, 3)))["params"]
+    save_file({**export_vae_decoder(vdec, cfg.vae),
+               **export_vae_encoder(venc, cfg.vae)},
+              str(root / "vae" / "diffusion_pytorch_model.safetensors"))
+    tc = cfg.text_encoder
+    torch.manual_seed(0)
+    model = CLIPTextModel(HFCLIPConfig(
+        vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+        intermediate_size=tc.intermediate_size, num_hidden_layers=tc.num_layers,
+        num_attention_heads=tc.num_heads, max_position_embeddings=tc.max_length,
+        hidden_act="quick_gelu", attention_dropout=0.0)).eval()
+    save_file({k: v.detach().numpy() for k, v in model.state_dict().items()},
+              str(root / "text_encoder" / "model.safetensors"))
+    (root / "tokenizer" / "vocab.json").write_text("{}")
+    return cfg, unet_sd
+
+
+def test_load_baseline_edited_unet_and_delta(tmp_path):
+    """load_baseline with an edited-UNet file must swap in the file's weights
+    (UCE/ESD format, reference eval_coco.py:96-101); a delta.bin must overlay
+    only its keys (Concept-Ablation, i2p_eval.py:142-152)."""
+    import jax
+    import numpy as np
+    import pytest
+    import torch
+
+    from diffusion_models_moe_tpu.benchmarks.baselines import load_baseline
+
+    cfg, unet_sd = _tiny_snapshot(tmp_path)
+
+    # edited UNet: every tensor shifted by +1 so the swap is observable
+    edited = {k: np.asarray(v) + 1.0 for k, v in unet_sd.items()}
+    pt = tmp_path / "erased-van gogh-method_replace.pt"
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in edited.items()},
+               str(pt))
+    pipe, params, kw = load_baseline("uce", str(tmp_path),
+                                     edited_unet=str(pt), config=cfg)
+    assert kw == {}
+    got = np.asarray(params["unet"]["conv_in"]["bias"])
+    np.testing.assert_array_equal(got, np.asarray(unet_sd["conv_in.bias"]) + 1)
+
+    # delta.bin: only the edited key changes
+    k_edit = "conv_out.bias"
+    torch.save({"unet": {k_edit: torch.from_numpy(
+        np.asarray(unet_sd[k_edit]).copy() + 5.0)}},
+        str(tmp_path / "delta.bin"))
+    _, params_d, _ = load_baseline("concept-ablation", str(tmp_path),
+                                   delta=str(tmp_path / "delta.bin"),
+                                   config=cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params_d["unet"]["conv_out"]["bias"]),
+        np.asarray(unet_sd[k_edit]) + 5)
+    np.testing.assert_array_equal(            # un-edited key from snapshot
+        np.asarray(params_d["unet"]["conv_in"]["bias"]),
+        np.asarray(unet_sd["conv_in.bias"]))
+
+    # guard rails
+    with pytest.raises(ValueError):
+        load_baseline("uce", str(tmp_path), edited_unet=str(pt),
+                      delta=str(tmp_path / "delta.bin"), config=cfg)
+    with pytest.raises(ValueError):
+        load_baseline("sld", str(tmp_path), edited_unet=str(pt), config=cfg)
+
+    # the loaded baseline actually generates (the delta-overlaid params — a
+    # +1-on-every-tensor edit is numerically degenerate by construction)
+    import jax.numpy as jnp
+    tcfg = cfg.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1), (1, tcfg.max_length), 0,
+                              tcfg.vocab_size)
+    img, _ = pipe.generate(params_d, cond, jnp.zeros_like(cond),
+                           jax.random.PRNGKey(2), num_steps=2, decode=False)
+    assert np.all(np.isfinite(np.asarray(img)))

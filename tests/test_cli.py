@@ -425,3 +425,52 @@ def test_mimic_cxr_dataset(tmp_path):
     assert batches[0]["input_ids"].shape == (2, 4)
     with pytest.raises(ValueError):
         next(ds.batches(5, tokenize))
+
+
+def test_cli_check_snapshot_baseline_unet(tmp_path, capsys):
+    """--baseline-unet validates a UCE-style edited-UNet state-dict file
+    (reference: benchmarks/eval_coco.py:70-101) against the --kind topology —
+    with or without a base snapshot present."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from diffusion_models_moe_tpu import tiny_config
+    from diffusion_models_moe_tpu.cli import main
+    from diffusion_models_moe_tpu.models.unet import UNet2DCondition
+    from diffusion_models_moe_tpu.weights.export import export_unet
+
+    cfg = tiny_config()
+    uparams = UNet2DCondition(cfg.unet).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 8, cfg.unet.cross_attention_dim)))["params"]
+    sd = export_unet(uparams, cfg.unet)
+    # sentinel tensors at REAL SD1.5 shapes (the validator's shape checks)
+    sd["conv_in.weight"] = np.zeros((320, 4, 3, 3), np.float32)
+    sd["down_blocks.0.attentions.0.transformer_blocks.0"
+       ".attn2.to_k.weight"] = np.zeros((8, 768), np.float32)
+    pt = tmp_path / "erased-van gogh-method_replace.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v).copy()).half()
+                for k, v in sd.items()}, str(pt))
+
+    # no snapshot dir at all: the edited file still gets a full census
+    main(["check-snapshot", "--cpu", "--snapshot", str(tmp_path / "absent"),
+          "--baseline-unet", str(pt)])
+    rep = _json.loads(capsys.readouterr().out)
+    entry = rep["components"]["baseline_unet"]
+    assert entry["load_ok"] and entry["keys_ok"] and entry["shapes_ok"]
+    assert entry["n_tensors"] == len(sd)
+
+    # wrong --kind: the sd21 sentinel (1024) rejects the 768 file
+    main(["check-snapshot", "--cpu", "--snapshot", str(tmp_path / "absent"),
+          "--kind", "sd21", "--baseline-unet", str(pt)])
+    rep21 = _json.loads(capsys.readouterr().out)
+    e21 = rep21["components"]["baseline_unet"]
+    assert e21["keys_ok"] and e21["shapes_ok"] is False
+    assert (e21["shape_checks"]["cross_attention_dim"]
+            == {"got": 768, "expected": 1024})
+    assert rep21["ok"] is False

@@ -218,3 +218,101 @@ def test_clip_vision_golden_vs_transformers(tmp_path):
     out = np.asarray(CLIPVisionEncoder(cfg).apply(
         {"params": params}, jnp.asarray(images), normalize=False))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_edited_unet_baseline_checkpoint_roundtrip(tmp_path):
+    """UCE/ESD publishing format: a whole-UNet torch state dict in one file
+    (reference: benchmarks/eval_coco.py:70-101 loads
+    'erased-...-method_replace.pt' via unet.load_state_dict). The validator
+    must census keys/shapes; the porter must roundtrip exactly — from both
+    the torch-pickle and safetensors containers, with fp16 widening and
+    'unet.'-prefix stripping."""
+    import torch
+
+    from diffusion_models_moe_tpu.weights.port import (port_edited_unet,
+                                                       validate_edited_unet)
+
+    cfg = tiny_config().unet
+    unet = UNet2DCondition(cfg)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, cfg.cross_attention_dim))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,), jnp.int32),
+                       ctx)["params"]
+    sd = export_unet(params, cfg)
+
+    # torch-pickle container, fp16 (the published files are fp16), wrapped
+    # in a 'unet.' prefix — all three quirks at once
+    pt = tmp_path / "erased-van gogh-method_replace.pt"
+    torch.save({f"unet.{k}": torch.from_numpy(np.asarray(v)).half()
+                for k, v in sd.items()}, str(pt))
+    report = validate_edited_unet(str(pt), cfg, expected_keys=set(sd))
+    assert report["load_ok"] and report["keys_ok"] and report["shapes_ok"]
+    assert report["n_tensors"] == len(sd)
+    ported = port_edited_unet(str(pt), cfg)
+    flat_a = {tuple(str(k) for k in kp): v for kp, v
+              in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_b = {tuple(str(k) for k in kp): v for kp, v
+              in jax.tree_util.tree_flatten_with_path(ported)[0]}
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(flat_a[k]), np.asarray(flat_b[k]), atol=1e-3,
+            rtol=1e-2, err_msg=str(k))      # fp16 quantization only
+
+    # safetensors container, exact
+    st = tmp_path / "edited.safetensors"
+    save_safetensors(sd, str(st))
+    ported = port_edited_unet(str(st), cfg)
+    flat_b = {tuple(str(k) for k in kp): v for kp, v
+              in jax.tree_util.tree_flatten_with_path(ported)[0]}
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))
+
+    # doctor behavior on bad inputs: missing file, key drift, wrong topology
+    missing = validate_edited_unet(str(tmp_path / "nope.pt"), cfg)
+    assert not missing["present"]
+    broken = dict(sd)
+    del broken["conv_in.weight"], broken["conv_in.bias"]
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in broken.items()},
+               str(tmp_path / "broken.pt"))
+    rep = validate_edited_unet(str(tmp_path / "broken.pt"), cfg,
+                               expected_keys=set(sd))
+    assert not rep["keys_ok"]
+    assert "conv_in.weight" in rep["missing_keys"]
+
+
+def test_delta_bin_overlay(tmp_path):
+    """Concept-Ablation delta.bin: partial UNet state dict applied OVER the
+    base snapshot (reference: benchmarks/i2p_eval.py:142-152). port_unet's
+    overlay must take the delta's value for edited keys and the snapshot's
+    for the rest."""
+    import torch
+
+    from diffusion_models_moe_tpu.weights.port import load_delta_bin
+
+    cfg = tiny_config().unet
+    unet = UNet2DCondition(cfg)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, cfg.cross_attention_dim))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,), jnp.int32),
+                       ctx)["params"]
+    sd = export_unet(params, cfg)
+    save_safetensors(sd, str(tmp_path / "diffusion_pytorch_model.safetensors"))
+
+    edited_key = ("down_blocks.0.attentions.0.transformer_blocks.0"
+                  ".attn2.to_k.weight")
+    delta_w = np.full_like(np.asarray(sd[edited_key]), 0.5)
+    torch.save({"unet": {edited_key: torch.from_numpy(delta_w)}},
+               str(tmp_path / "delta.bin"))
+
+    bundle = load_delta_bin(str(tmp_path / "delta.bin"))
+    assert set(bundle) == {"unet"}
+    ported = port_unet(str(tmp_path), cfg, overlay=bundle["unet"])
+    got = np.asarray(
+        ported["down_0_attn_0"]["transformer_blocks_0"]["attn2"]["to_k"]
+        ["kernel"])
+    np.testing.assert_array_equal(got, delta_w.T)          # torch -> flax
+    # an un-edited tensor still comes from the snapshot
+    np.testing.assert_array_equal(
+        np.asarray(ported["conv_in"]["bias"]), np.asarray(sd["conv_in.bias"]))
