@@ -899,6 +899,218 @@ def cmd_check_snapshot(args):
     return report
 
 
+def cmd_parity_run(args):
+    """The snapshot-gated acceptance run (BASELINE.json criterion: 'CLIP/FID
+    parity after expert removal'). ONE command executes the reference's
+    product flow end to end — moefy -> wanda skilled neurons at the concept's
+    operating point -> removal eval -> union-over-timesteps bake -> scores —
+    and writes {out_dir}/PARITY_RUN.md + parity_run.json with provenance.
+
+    Runs today against the tiny random-init model (omit --snapshot; machinery
+    checks only, images are noise); runs the real acceptance the day a local
+    SD1.5 snapshot exists (reference real-weights flow: utils.py:64-138;
+    operating points: benchmarks/artist_removal.py best_ckpt_dict /
+    eval_coco.py:40-60)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    pipe, params, tokenize = _load_pipe(args)
+    real = bool(args.snapshot)
+    concept = args.concept or "Van Gogh"
+    steps = args.steps or (50 if real else 4)
+    out = args.out_dir
+    os.makedirs(out, exist_ok=True)
+    report: dict = {
+        "concept": concept, "real_weights": real, "num_steps": steps,
+        "snapshot": args.snapshot, "ts_unix": int(time.time()),
+        "commit": _git_rev(), "seed": args.seed,
+    }
+
+    # ---- 1. moefy: cluster FFNs into experts --------------------------------
+    from diffusion_models_moe_tpu.moefication.moefy import (
+        build_moe_interventions, moefy_unet)
+    labels_path = os.path.join(out, "labels.npz")
+    # default expert size: the reference's 20 at SD dims; 16 divides every
+    # tiny-config FF width (128..512) for the dbg run
+    expert_size = (args.expert_size if args.expert_size is not None
+                   else (20 if real else 16))
+    labels = moefy_unet(params["unet"], pipe.config.unet,
+                        expert_size=expert_size, seed=args.seed,
+                        save_path=labels_path)
+    report["moefy"] = {"labels": labels_path,
+                      "experts_per_layer": {str(k): int(v.max()) + 1
+                                            for k, v in labels.items()}}
+
+    # routing smoke: expert_freq tap under MoE interventions
+    from diffusion_models_moe_tpu.taps import TapSpec
+    cond0 = tokenize([f"a painting in the style of {concept}"])
+    _, taps = pipe.generate(params, cond0, np.zeros_like(cond0),
+                            jax.random.PRNGKey(args.seed), num_steps=steps,
+                            ivs=build_moe_interventions(labels, 0.3),
+                            tap=TapSpec(expert_freq=True), decode=False)
+    freq0 = np.asarray(next(iter(taps["expert_freq"].values())))
+    report["moefy"]["routing_active_experts_l0"] = int((freq0 > 0).sum())
+
+    # ---- 2. wanda skilled neurons at the operating point --------------------
+    from diffusion_models_moe_tpu.analysis.collect import wanda_pipeline
+    from diffusion_models_moe_tpu.data.operating_points import (
+        union_select_ratio, wanda_skill_ratio)
+    base, adj = _prompt_pairs(args)
+    skill_ratio = (args.skill_ratio if args.skill_ratio is not None
+                   else wanda_skill_ratio(concept, default=0.05))
+    masks = wanda_pipeline(pipe, params, tokenize, base, adj,
+                           skill_ratio=skill_ratio, seed=args.seed,
+                           num_steps=steps,
+                           cache_dir=os.path.join(out, "norm_cache"))
+    from diffusion_models_moe_tpu.erasure.masks import (
+        bake_wanda_masks, save_masks, union_over_timesteps,
+        wanda_removal_interventions)
+    masks_path = os.path.join(out, "wanda_masks.npz")
+    save_masks(masks_path, masks)
+    report["wanda"] = {
+        "masks": masks_path, "skill_ratio": skill_ratio,
+        "skilled_entries": int(sum(int(m.sum()) for m in masks.values())),
+        "prompts": len(base)}
+
+    # ---- 3. removal eval: baseline + removed image pairs --------------------
+    from diffusion_models_moe_tpu.benchmarks.runner import (EvalRunConfig,
+                                                            run_eval)
+    img_dir = os.path.join(out, "images")
+    ivs = wanda_removal_interventions(masks)
+    stats = run_eval(pipe, params, tokenize, adj,
+                     EvalRunConfig(out_dir=img_dir, batch_size=args.batch,
+                                   num_steps=steps, seed=args.seed), ivs=ivs)
+    report["eval"] = stats
+
+    # ---- 4. union-over-timesteps bake + bake==dynamic parity ----------------
+    union_ratio = (args.union_ratio if args.union_ratio is not None
+                   else union_select_ratio(concept, default=0.3))
+    static = union_over_timesteps(masks, union_ratio)
+    baked_unet = bake_wanda_masks(params["unet"], pipe.config.unet, static)
+    from diffusion_models_moe_tpu.weights.export import (export_unet,
+                                                         save_safetensors)
+    baked_path = os.path.join(out, "baked_unet.safetensors")
+    save_safetensors(export_unet(baked_unet, pipe.config.unet), baked_path)
+    # machinery parity: the baked checkpoint must reproduce the dynamic
+    # static-union intervention bit-for-bit-ish on a fixed seed (the
+    # reference's bake-then-check, save_union_over_time.py:243-276)
+    ivs_static = wanda_removal_interventions(static)
+    key = jax.random.PRNGKey(args.seed + 1)
+    lat_dyn, _ = pipe.generate(params, cond0, np.zeros_like(cond0), key,
+                               num_steps=steps, ivs=ivs_static, decode=False)
+    lat_baked, _ = pipe.generate(dict(params, unet=baked_unet), cond0,
+                                 np.zeros_like(cond0), key, num_steps=steps,
+                                 decode=False)
+    bake_max_abs = float(np.max(np.abs(np.asarray(lat_dyn, np.float32)
+                                       - np.asarray(lat_baked, np.float32))))
+    # bf16 real runs accumulate rounding over 50 steps; fp32 tiny is ~1e-5
+    bake_tol = 1e-4 if pipe.config.unet.dtype == jnp.float32 else 0.1
+    report["bake"] = {"baked_unet": baked_path, "union_ratio": union_ratio,
+                      "pruned": {str(l): int(m.sum())
+                                 for l, m in static.items()},
+                      "bake_vs_dynamic_max_abs": bake_max_abs,
+                      "parity_ok": bake_max_abs < bake_tol}
+
+    # ---- 5. scores: CLIP-feature FID + perceptual distance ------------------
+    from diffusion_models_moe_tpu.benchmarks.fid import make_clip_featurizer
+    from diffusion_models_moe_tpu.benchmarks.scores import (
+        clip_perceptual_distance, fid_between_dirs, perceptual_between_dirs)
+    clip_snap = getattr(args, "clip_snapshot", None)
+    if clip_snap:
+        from diffusion_models_moe_tpu.models.clip_vision import (
+            CLIPVisionConfig, CLIPVisionEncoder)
+        from diffusion_models_moe_tpu.weights.port_vision import (
+            port_clip_vision)
+        vcfg = CLIPVisionConfig()
+        venc = CLIPVisionEncoder(vcfg)
+        featurize = make_clip_featurizer(venc, port_clip_vision(clip_snap,
+                                                                vcfg))
+    else:
+        from diffusion_models_moe_tpu.models.clip_vision import (
+            CLIPVisionEncoder, tiny_vision_config)
+        vcfg = tiny_vision_config()
+        venc = CLIPVisionEncoder(vcfg)
+        featurize = make_clip_featurizer(
+            venc, venc.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, vcfg.image_size, vcfg.image_size,
+                                       3)))["params"])
+    fid = fid_between_dirs(img_dir, img_dir, featurize)
+    perc = perceptual_between_dirs(img_dir, img_dir,
+                                   clip_perceptual_distance(featurize))
+    report["scores"] = {"clip_fid_base_vs_removed": fid,
+                        "clip_perceptual_base_vs_removed": perc,
+                        "clip_featurizer": ("ported" if clip_snap
+                                            else "tiny-random (dbg)")}
+
+    report["acceptance"] = {
+        "bake_parity_ok": report["bake"]["parity_ok"],
+        "pipeline_complete": True,
+        "real_weights_run": real,
+        "note": ("compare scores against the reference's operating table "
+                 "(BASELINE.md) — this was a REAL-weights run" if real else
+                 "dbg mode: random weights — machinery verified, image "
+                 "quality metrics are not meaningful; re-run with "
+                 "--snapshot the day a local SD1.5 snapshot exists"),
+    }
+
+    with open(os.path.join(out, "parity_run.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    _write_parity_md(os.path.join(out, "PARITY_RUN.md"), report)
+    print(json.dumps(report["acceptance"]))
+    return report
+
+
+def _git_rev() -> str:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return ""
+
+
+def _write_parity_md(path: str, r: dict) -> None:
+    import datetime
+    ts = datetime.datetime.fromtimestamp(r["ts_unix"],
+                                         datetime.timezone.utc).isoformat()
+    mode = ("REAL WEIGHTS" if r["real_weights"]
+            else "dbg (tiny random-init — machinery check only)")
+    lines = [
+        "# Parity run",
+        "",
+        f"- concept: **{r['concept']}**  |  mode: **{mode}**",
+        f"- commit `{r['commit']}`  |  {ts}  |  steps {r['num_steps']}  |  "
+        f"seed {r['seed']}",
+        f"- snapshot: `{r['snapshot']}`",
+        "",
+        "| stage | key result |",
+        "|---|---|",
+        f"| moefy | experts/layer {list(r['moefy']['experts_per_layer'].values())[:4]}…, "
+        f"{r['moefy']['routing_active_experts_l0']} experts active (L0) |",
+        f"| wanda | skill_ratio {r['wanda']['skill_ratio']}, "
+        f"{r['wanda']['skilled_entries']} skilled entries over "
+        f"{r['wanda']['prompts']} prompt pairs |",
+        f"| removal eval | {r['eval']} |",
+        f"| bake | union_ratio {r['bake']['union_ratio']}, "
+        f"max&#124;baked−dynamic&#124; = {r['bake']['bake_vs_dynamic_max_abs']:.2e} "
+        f"→ parity_ok={r['bake']['parity_ok']} |",
+        f"| scores | CLIP-FID(base, removed) = "
+        f"{r['scores']['clip_fid_base_vs_removed']:.4f}, perceptual mean = "
+        f"{r['scores']['clip_perceptual_base_vs_removed']['mean']:.4f} "
+        f"over n={r['scores']['clip_perceptual_base_vs_removed']['n']} "
+        f"({r['scores']['clip_featurizer']}) |",
+        "",
+        f"**Acceptance:** {r['acceptance']['note']}",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def cmd_serve(args):
     """Line-oriented serving loop over the batched engine (serving.py):
     stdin lines `seed<TAB>prompt` (or just `prompt`), PNGs written to
@@ -1153,6 +1365,23 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the UCE/ESD publishing format: .pt/.bin/"
                          ".safetensors) against the --kind topology")
     sp.set_defaults(fn=cmd_check_snapshot)
+
+    sp = sub.add_parser(
+        "parity-run",
+        help="snapshot-gated acceptance run: moefy->wanda->remove->bake->"
+             "score in one command, writes PARITY_RUN.md")
+    common(sp, concept=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--batch", type=int, default=4)
+    sp.add_argument("--expert-size", type=int, default=None,
+                    help="default 20 (real) / 16 (dbg tiny)")
+    sp.add_argument("--skill-ratio", type=float, default=None,
+                    help="default: the concept's reference operating point")
+    sp.add_argument("--union-ratio", type=float, default=None,
+                    help="default: the concept's reference select_ratio")
+    sp.add_argument("--clip-snapshot", default=None,
+                    help="ported CLIP vision tower for real FID/perceptual")
+    sp.set_defaults(fn=cmd_parity_run)
 
     sp = sub.add_parser("train"); common(sp)
     sp.add_argument("--data-dir", required=True,

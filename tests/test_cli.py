@@ -474,3 +474,39 @@ def test_cli_check_snapshot_baseline_unet(tmp_path, capsys):
     assert (e21["shape_checks"]["cross_attention_dim"]
             == {"got": 768, "expected": 1024})
     assert rep21["ok"] is False
+
+
+def test_cli_parity_run_dbg(tmp_path, capsys):
+    """parity-run in dbg mode (tiny random-init): the full
+    moefy->wanda->remove->bake->score chain completes, the bake==dynamic
+    machinery parity holds, and PARITY_RUN.md + parity_run.json land with
+    provenance (VERDICT r2 item 5 — the snapshot-gated acceptance run)."""
+    import json as _json
+
+    from diffusion_models_moe_tpu.cli import main
+
+    out = tmp_path / "parity"
+    main(["parity-run", "--cpu", "--out-dir", str(out),
+          "--concept", "Van Gogh", "--limit", "2", "--steps", "2",
+          "--batch", "2"])
+    acc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert acc["pipeline_complete"]
+    assert acc["bake_parity_ok"]
+    assert acc["real_weights_run"] is False
+
+    rep = _json.loads((out / "parity_run.json").read_text())
+    assert rep["concept"] == "Van Gogh"
+    assert rep["wanda"]["skilled_entries"] > 0
+    assert rep["bake"]["bake_vs_dynamic_max_abs"] < 1e-4
+    assert (out / "wanda_masks.npz").exists()
+    assert (out / "baked_unet.safetensors").exists()
+    assert (out / "labels.npz").exists()
+    # image pairs from the removal eval
+    imgs = sorted(p.name for p in (out / "images").iterdir())
+    assert any(n.startswith("sd_") for n in imgs)
+    assert any(n.startswith("removed_") for n in imgs)
+    md = (out / "PARITY_RUN.md").read_text()
+    assert "dbg (tiny random-init" in md and "parity_ok=True" in md
+    assert rep["commit"]    # provenance present
+    # scores computed (dbg featurizer — values not meaningful, but finite)
+    assert np.isfinite(rep["scores"]["clip_fid_base_vs_removed"])
