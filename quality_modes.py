@@ -1,0 +1,261 @@
+"""Fixed-seed A/B quality deltas for the serving modes (VERDICT r2 item 3).
+
+BASELINE.md's north-star clause is parity *within noise* AND throughput —
+`bench_modes.json` records the throughput side; this tool records the quality
+side of the same matrix. For each serving mode it regenerates the bench
+workload (SD1.5 geometry, batch 8, 50 steps, MoE top-k 0.3 interventions,
+identical PRNG key and token ids) and measures, against the exact-bf16 plain
+leg:
+
+  latent_rel_err   ||z_mode - z_plain||_2 / ||z_plain||_2  (pre-VAE latents)
+  image_psnr_db    PSNR of the decoded [0,1] images
+  clip_cos         mean cosine similarity of native-CLIP image features
+                   (ported tower via --clip-snapshot when a snapshot exists;
+                   random-init otherwise — a fixed random projection, still a
+                   deterministic perceptual-distance proxy, labeled as such)
+
+A `decorrelated` calibration row (plain bf16 under a DIFFERENT key — i.e.
+"a completely different image") anchors each metric's floor: a mode is
+"parity within noise" to the extent its row sits near the exact legs and far
+from the decorrelated floor. No real SD1.5 weights exist in this environment,
+so rows quantify NUMERICAL perturbation of the real-geometry program, not
+semantic quality; rerun with real params the day a snapshot exists (the same
+flags `cli parity-run` takes).
+
+Writes quality_modes.json (with commit/timestamp/knob provenance, partial
+results surviving kills) and prints a markdown table. Heavy TPU job: takes
+the same host-wide lock as bench.py. Usage:
+
+  python quality_modes.py                 # all modes, SD1.5 geometry
+  python quality_modes.py int8 dc2        # subset
+  python quality_modes.py --tiny          # tiny-config CPU smoke (tests)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+# Modes share bench_modes.py's knob vocabulary. Each entry RESETS all knobs.
+MODES: dict[str, dict[str, str]] = {
+    "pad_proj": {"DMOE_PAD_PROJ": "1"},          # exact by construction
+    "int8": {"DMOE_QUANT": "1"},
+    "wino2": {"DMOE_WINOGRAD": "1"},
+    "dc2": {"DMOE_DEEP_CACHE": "2"},
+    "dc3": {"DMOE_DEEP_CACHE": "3"},
+    "dc3_serve": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
+                  "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
+}
+KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_PAD_PROJ",
+         "DMOE_DEEP_CACHE")
+
+
+def _set_knobs(extra: dict[str, str]) -> None:
+    for k in KNOBS:
+        os.environ.pop(k, None)
+    os.environ.update(extra)
+
+
+def _build(mode_env: dict[str, str], tiny: bool):
+    """Fresh pipeline for a mode. DMOE_PAD_PROJ is read at trace time
+    (models/attention.py), so knobs are set BEFORE construction and each mode
+    gets its own instance (per-instance jit cache => its own trace)."""
+    import jax.numpy as jnp
+
+    from diffusion_models_moe_tpu import StableDiffusionPipeline, sd15_config
+    from diffusion_models_moe_tpu.config import tiny_config
+
+    _set_knobs(mode_env)
+    cfg = tiny_config() if tiny else sd15_config(dtype=jnp.bfloat16)
+    unet = cfg.unet
+    if mode_env.get("DMOE_QUANT") == "1":
+        unet = dataclasses.replace(unet, quant_int8=True)
+    if mode_env.get("DMOE_WINOGRAD") == "1":
+        unet = dataclasses.replace(unet, conv_winograd=True)
+    cfg = dataclasses.replace(cfg, unet=unet)
+    dc = int(mode_env.get("DMOE_DEEP_CACHE", "0"))
+    if dc:
+        cfg = dataclasses.replace(cfg, deep_cache_interval=dc)
+    if unet.quant_int8 or unet.conv_winograd:
+        cfg = dataclasses.replace(cfg, vae=dataclasses.replace(
+            cfg.vae, quant_int8=unet.quant_int8,
+            conv_winograd=unet.conv_winograd))
+    return StableDiffusionPipeline(cfg)
+
+
+def _run(pipe, params, cond, uncond, key, steps, ivs):
+    """One fixed-seed generation -> (latents, images) as float32 numpy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    lat, _ = pipe.generate(params, cond, uncond, key, num_steps=steps,
+                           ivs=ivs, decode=False)
+
+    @jax.jit
+    def decode(vae_params, z):
+        img = pipe.vae_decoder.apply({"params": vae_params}, z)
+        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    img = decode(params["vae"], lat)
+    return (np.asarray(jax.device_get(lat), np.float32),
+            np.asarray(jax.device_get(img), np.float32))
+
+
+def _metrics(lat, img, feat, ref) -> dict:
+    import numpy as np
+
+    rl, ri, rf = ref
+    rel = float(np.linalg.norm(lat - rl) / (np.linalg.norm(rl) + 1e-12))
+    mse = float(np.mean((img - ri) ** 2))
+    psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    a = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-12)
+    b = rf / (np.linalg.norm(rf, axis=-1, keepdims=True) + 1e-12)
+    cos = float(np.mean(np.sum(a * b, axis=-1)))
+    return {"latent_rel_err": round(rel, 6), "image_psnr_db": round(psnr, 2),
+            "clip_cos": round(cos, 6)}
+
+
+def main(argv: list[str]) -> int:
+    tiny = "--tiny" in argv
+    names = [a for a in argv if not a.startswith("-")]
+    unknown = [n for n in names if n not in MODES]
+    if unknown:
+        print(f"unknown modes {unknown}; known: {list(MODES)}",
+              file=sys.stderr)
+        return 2
+    names = names or list(MODES)
+    out_path = os.environ.get(
+        "DMOE_QUALITY_OUT", "quality_modes_tiny.json" if tiny
+        else "quality_modes.json")
+    clip_snap = os.environ.get("DMOE_CLIP_SNAPSHOT", "")
+
+    if tiny:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import bench
+        bench._acquire_tpu_lock()   # one heavy TPU job at a time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_models_moe_tpu.moefication.moefy import (
+        build_moe_interventions)
+    from diffusion_models_moe_tpu.taps import layer_name
+
+    batch, steps = (2, 3) if tiny else (8, 50)
+    pipe = _build({}, tiny)
+    cfg = pipe.config
+    params = pipe.init_params(jax.random.PRNGKey(0))   # bench's param seed
+    rng = np.random.RandomState(0)
+    esz = 20 if not tiny else 8
+    labels = {layer_name(i): rng.permutation(
+                  np.arange(4 * d) % max((4 * d) // esz, 1))
+              for i, d in enumerate(cfg.unet.ff_dims())}
+    ivs = build_moe_interventions(labels, topk_ratio=0.3)
+    tcfg = cfg.text_encoder
+    cond = jax.random.randint(jax.random.PRNGKey(1),
+                              (batch, tcfg.max_length), 0, tcfg.vocab_size)
+    uncond = jnp.zeros_like(cond)
+    key = jax.random.PRNGKey(3)   # bench's first timed-run key
+
+    # native-CLIP featurizer (ported when a snapshot exists, else random-init)
+    from diffusion_models_moe_tpu.benchmarks.fid import make_clip_featurizer
+    from diffusion_models_moe_tpu.models.clip_vision import (
+        CLIPVisionConfig, CLIPVisionEncoder, tiny_vision_config)
+    if clip_snap:
+        from diffusion_models_moe_tpu.weights.port_vision import (
+            port_clip_vision)
+        vcfg = CLIPVisionConfig()
+        venc = CLIPVisionEncoder(vcfg)
+        featurize = make_clip_featurizer(venc, port_clip_vision(clip_snap,
+                                                                vcfg))
+        feat_kind = "ported"
+    else:
+        vcfg = tiny_vision_config() if tiny else CLIPVisionConfig()
+        venc = CLIPVisionEncoder(vcfg)
+        vparams = venc.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, vcfg.image_size, vcfg.image_size,
+                                       3)))["params"]
+        featurize = make_clip_featurizer(venc, vparams)
+        feat_kind = "random-init (numerical-perturbation proxy)"
+
+    def feats(img):
+        return np.asarray(jax.device_get(featurize(img)), np.float32)
+
+    report: dict = {
+        "workload": ("tiny CPU smoke" if tiny else
+                     "SD1.5 geometry bf16, batch 8, 50 steps, MoE topk 0.3"),
+        "clip_featurizer": feat_kind,
+        "ts_unix": int(time.time()),
+        "commit": _git_rev(),
+        "modes": {},
+    }
+
+    def flush():
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+
+    t0 = time.perf_counter()
+    rl, ri = _run(pipe, params, cond, uncond, key, steps, ivs)
+    rf = feats(ri)
+    ref = (rl, ri, rf)
+    print(f"# plain (reference) {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    # exactness sanity: plain re-run, same key -> bit-identical
+    rl2, ri2 = _run(_build({}, tiny), params, cond, uncond, key, steps, ivs)
+    report["modes"]["plain_rerun"] = dict(
+        _metrics(rl2, ri2, feats(ri2), ref), exact=True,
+        note="same key, fresh pipeline instance: determinism check")
+    # calibration floor: plain under a different key = unrelated image
+    dl, di = _run(pipe, params, cond, uncond, jax.random.PRNGKey(4), steps,
+                  ivs)
+    report["modes"]["decorrelated"] = dict(
+        _metrics(dl, di, feats(di), ref), exact=False,
+        note="plain bf16, DIFFERENT key: the 'completely different image' "
+             "floor every approximate mode must stay far from")
+    flush()
+
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            p = _build(MODES[name], tiny)
+            lat, img = _run(p, params, cond, uncond, key, steps, ivs)
+            m = _metrics(lat, img, feats(img), ref)
+        except Exception as e:  # record and continue: partial matrix > none
+            m = {"error": f"{type(e).__name__}: {e}"}
+        m["wall_s"] = round(time.perf_counter() - t0, 1)
+        report["modes"][name] = m
+        print(f"# {name}: {m}", file=sys.stderr, flush=True)
+        flush()
+    _set_knobs({})
+
+    print("| mode | latent_rel_err | image PSNR (dB) | clip_cos |")
+    print("|---|---|---|---|")
+    for n, m in report["modes"].items():
+        if "error" in m:
+            print(f"| {n} | error: {m['error']} | | |")
+        else:
+            print(f"| {n} | {m['latent_rel_err']} | {m['image_psnr_db']} "
+                  f"| {m['clip_cos']} |")
+    return 0
+
+
+def _git_rev() -> str:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return ""
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -24,3 +24,26 @@ except Exception:
     pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---- fast/slow split (VERDICT r2 weak #6: a 41-min monolithic suite cannot
+# gate every commit on a 1-CPU host). Whole modules are marked by name here so
+# individual files stay clean; `pytest -m "not slow"` is the per-commit gate,
+# the full suite (no -m) stays the CI / round-driver run. The list is tuned
+# from a `--durations=0` profile — modules dominated by torch-mirror parity
+# math, e2e pipeline/protocol generation loops, or LLM-judge decoding.
+SLOW_MODULES = {
+    "test_unet_torch_parity", "test_vae_torch_parity",
+    "test_pixart_torch_parity", "test_scheduler_mirror_parity",
+    "test_trainer_e2e", "test_sdxl_pipeline", "test_t5_and_pixart_pipeline",
+    "test_protocols", "test_llava", "test_qwen2vl", "test_cli",
+    "test_benchmarks_extra", "test_serving", "test_deep_cache",
+    "test_quality_modes",
+}
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
