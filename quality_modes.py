@@ -220,6 +220,29 @@ def main(argv: list[str]) -> int:
         note="plain bf16, DIFFERENT key: the 'completely different image' "
              "floor every approximate mode must stay far from")
     flush()
+    # dtype-rounding floor: the SAME weights and key at fp32 compute. Any
+    # mode whose delta vs plain-bf16 is within ~this is exact-tier — it
+    # perturbs no more than the bf16 arithmetic the headline already uses
+    # (the flash kernel is accepted as exact on the same argument).
+    if not tiny:   # tiny config is already fp32; the row would be zero
+        try:
+            from diffusion_models_moe_tpu import sd15_config as _sd15
+            _set_knobs({})
+            from diffusion_models_moe_tpu import StableDiffusionPipeline
+            cfg32 = _sd15(dtype=jnp.float32)
+            pipe32 = StableDiffusionPipeline(cfg32)
+            params32 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32) if hasattr(x, "astype") else x,
+                params)
+            fl, fi = _run(pipe32, params32, cond, uncond, key, steps, ivs)
+            report["modes"]["fp32_reference"] = dict(
+                _metrics(fl, fi, feats(fi), ref), exact=True,
+                note="same weights/key at fp32 compute: the bf16 rounding "
+                     "floor — deltas at this scale are dtype noise")
+        except Exception as e:
+            report["modes"]["fp32_reference"] = {
+                "error": f"{type(e).__name__}: {e}"}
+        flush()
 
     for name in names:
         t0 = time.perf_counter()
