@@ -29,8 +29,8 @@ import time
 # Every knob any mode sets. Each leg RESETS all of these to its own values —
 # a DMOE_QUANT=1 left exported in the caller's shell must not silently turn
 # the 'plain' leg into int8 while the table still labels it 'plain'.
-KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_PAD_PROJ",
-         "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE")
+KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
+         "DMOE_PAD_PROJ", "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE")
 
 MODES: dict[str, dict[str, str]] = {
     "plain": {},
@@ -40,6 +40,13 @@ MODES: dict[str, dict[str, str]] = {
     "wino2": {"DMOE_WINOGRAD": "1"},
     "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4"},
     "wino2_pad": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
+    # fused Pallas Winograd (ops/winograd_fused.py): transforms stay in VMEM
+    # — the XLA formulation is HBM-bound (dc3_wino 0.7445 vs dc3 1.4265)
+    "winof": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1"},
+    "winof_pad": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1",
+                  "DMOE_PAD_PROJ": "1"},
+    "dc3_winof_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1",
+                      "DMOE_WINO_FUSED": "1", "DMOE_PAD_PROJ": "1"},
     "int8": {"DMOE_QUANT": "1"},
     "int8_wino2": {"DMOE_QUANT": "1", "DMOE_WINOGRAD": "1"},
     "int8_pad": {"DMOE_QUANT": "1", "DMOE_PAD_PROJ": "1"},

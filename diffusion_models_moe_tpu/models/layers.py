@@ -7,6 +7,7 @@ which XLA maps onto TPU conv units without transposes.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -93,11 +94,33 @@ class WinoConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         from diffusion_models_moe_tpu.ops.winograd import winograd_conv3x3
+        from diffusion_models_moe_tpu.ops.winograd_fused import (
+            fused_profitable, winograd3x3_fused)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        y = winograd_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+        # DMOE_WINO_FUSED=1 (read at trace time, like DMOE_PAD_PROJ): the
+        # Pallas fused kernel at the shapes where it measured faster than the
+        # direct conv (fused_profitable — 32x32/16x16 UNet levels), DIRECT
+        # conv everywhere else. Never the XLA Winograd formulation in this
+        # mode: it round-trips its Winograd-domain tensors through HBM and
+        # measured 2x slower end-to-end (bench_modes.json dc3 vs dc3_wino;
+        # ops/winograd_fused.py docstring).
+        if os.environ.get("DMOE_WINO_FUSED", "0") == "1":
+            xd = x.astype(self.dtype)
+            kd = kernel.astype(self.dtype)
+            if (jax.default_backend() == "tpu"
+                    and fused_profitable(x.shape[1], x.shape[2], x.shape[-1],
+                                         self.features)):
+                y = winograd3x3_fused(xd, kd)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xd, kd, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            y = winograd_conv3x3(x.astype(self.dtype),
+                                 kernel.astype(self.dtype))
         return y + bias.astype(self.dtype)
 
 

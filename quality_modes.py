@@ -43,13 +43,14 @@ MODES: dict[str, dict[str, str]] = {
     "pad_proj": {"DMOE_PAD_PROJ": "1"},          # exact by construction
     "int8": {"DMOE_QUANT": "1"},
     "wino2": {"DMOE_WINOGRAD": "1"},
+    "winof": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1"},
     "dc2": {"DMOE_DEEP_CACHE": "2"},
     "dc3": {"DMOE_DEEP_CACHE": "3"},
     "dc3_serve": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
                   "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
 }
-KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_PAD_PROJ",
-         "DMOE_DEEP_CACHE")
+KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
+         "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE")
 
 
 def _set_knobs(extra: dict[str, str]) -> None:

@@ -157,3 +157,48 @@ def test_winograd_int8_combined_mode_runs():
     assert np.isfinite(b).all()
     rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
     assert rel < 0.35, rel   # int8-quantization-scale drift, not divergence
+
+
+def test_winograd_fused_pallas_matches_direct_conv():
+    """Fused Pallas Winograd (interpret mode on CPU) == direct conv at f32
+    tolerance, across the UNet's band/Cout tiling plans (ops/winograd_fused.py
+    — the VMEM-resident variant of the HBM-bound XLA formulation)."""
+    from jax import lax
+
+    from diffusion_models_moe_tpu.ops.winograd_fused import (fused_ok,
+                                                             winograd3x3_fused)
+
+    rng = np.random.RandomState(0)
+    # (B, H, W, Cin, Cout): multi-band 64x64, single-band 32x32 with Cout
+    # blocking, 16x16 small-N, non-128-multiple Cout
+    for shape in [(2, 64, 64, 20, 128), (1, 32, 32, 48, 256),
+                  (2, 16, 16, 32, 128), (1, 16, 16, 32, 160)]:
+        b, h, w, cin, cout = shape
+        assert fused_ok(h, w, cin, cout)
+        x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, jnp.float32)
+        ref = lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = winograd3x3_fused(x, k, interpret=True)
+        err = float(jnp.max(jnp.abs(ref - got))
+                    / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < 1e-5, (shape, err)
+    # scope gate: odd/small shapes are refused
+    assert not fused_ok(15, 16, 32, 128)
+    assert not fused_ok(8, 8, 1280, 1280)
+    assert not fused_ok(16, 16, 4, 128)
+    assert not fused_ok(16, 16, 32, 64)
+
+
+def test_winograd_fused_profitability_gate():
+    """Measured-profitability gate (ROOFLINE.md §4): 32x32/16x16 UNet conv
+    levels route to the fused kernel; 64x64 levels (where fused measured
+    slower than direct conv) and sub-16 levels do not."""
+    from diffusion_models_moe_tpu.ops.winograd_fused import fused_profitable
+
+    assert fused_profitable(32, 32, 640, 640)
+    assert fused_profitable(16, 16, 1280, 1280)
+    assert fused_profitable(32, 32, 1280, 640)
+    assert not fused_profitable(64, 64, 320, 320)   # loses: 41.6 vs 54.4 TF/s
+    assert not fused_profitable(64, 64, 640, 320)
+    assert not fused_profitable(8, 8, 1280, 1280)   # below fused_ok scope
