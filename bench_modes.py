@@ -17,6 +17,8 @@ same way — memory/ops note in bench.py). Usage:
 
   python bench_modes.py            # all modes
   python bench_modes.py plain int8 # a subset
+  python bench_modes.py --merge /tmp/new.json   # fold a subset re-run into
+                                   # bench_modes.json (newest leg wins)
 """
 from __future__ import annotations
 
@@ -118,7 +120,35 @@ def run_leg(name: str, extra_env: dict[str, str],
             "init_hang": "InitHang" in stderr + stdout}
 
 
+def merge(paths: list[str],
+          out_path: str = "bench_modes.json") -> int:
+    """Merge leg results from `paths` into `out_path` by leg name (newest
+    wins, order preserved, new legs appended) — re-running a subset with
+    DMOE_MODES_OUT must not clobber the committed evidence for the rest."""
+    try:
+        with open(out_path) as f:
+            base = json.load(f)
+    except FileNotFoundError:
+        base = []
+    index = {e["leg"]: i for i, e in enumerate(base)}
+    for p in paths:
+        with open(p) as f:
+            for e in json.load(f):
+                if e["leg"] in index:
+                    base[index[e["leg"]]] = e
+                else:
+                    index[e["leg"]] = len(base)
+                    base.append(e)
+    with open(out_path, "w") as f:
+        json.dump(base, f, indent=1)
+    print(f"# merged {paths} -> {out_path} ({len(base)} legs)",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "--merge":
+        return merge(argv[1:])
     names = argv or list(MODES)
     unknown = [n for n in names if n not in MODES]
     if unknown:

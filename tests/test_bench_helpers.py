@@ -116,3 +116,24 @@ def test_probe_retries_exhausted_reraises(monkeypatch):
     with pytest.raises(bench.InitHang):
         bench._probe_with_retries()
     assert len(calls) == 3
+
+
+def test_bench_modes_merge_newest_wins(tmp_path):
+    """--merge folds subset re-runs into the committed evidence file:
+    matching legs are replaced in place, new legs appended, others kept."""
+    import json
+
+    out = tmp_path / "bench_modes.json"
+    out.write_text(json.dumps([
+        {"leg": "plain", "rc": 0, "result": {"value": 1.0}},
+        {"leg": "int8", "rc": 0, "result": {"value": 2.0}},
+    ]))
+    new = tmp_path / "new.json"
+    new.write_text(json.dumps([
+        {"leg": "int8", "rc": 0, "result": {"value": 3.0}},
+        {"leg": "winof", "rc": 0, "result": {"value": 4.0}},
+    ]))
+    assert bench_modes.merge([str(new)], str(out)) == 0
+    merged = json.loads(out.read_text())
+    assert [e["leg"] for e in merged] == ["plain", "int8", "winof"]
+    assert merged[1]["result"]["value"] == 3.0
