@@ -48,8 +48,10 @@ DMOE_XLA_OPTS=k=v;... (compiler options; xla_tpu_scoped_vmem_limit_kib=98304
 measured 1.0083 — slower, rejected), DMOE_FF_2D=1 (2D-flattened FF dots;
 1.0695 — no win, off), DMOE_QUANT=1 (int8 W8A8 serving mode),
 DMOE_WINOGRAD=1 (Winograd F(2x2,3x3) conv serving mode),
-DMOE_PAD_PROJ=1 (fold the flash head-dim pad into the q/k/v weights — exact;
-combines with DMOE_QUANT=1, where the int8 twins keep it bit-exact too),
+DMOE_PAD_PROJ (default 1 since r3: fold the flash head-dim pad into the q/k/v
+weights — BIT-exact and measured +4.4%, bench_modes.json pad_proj vs plain;
+=0 restores the boundary pad; combines with DMOE_QUANT=1, where the int8
+twins keep it bit-exact too),
 DMOE_DEEP_CACHE=N (DeepCache serving mode: full UNet every N-th step, shallow
 cached-deep-feature forward otherwise — approximate, composes with the other
 serving modes),

@@ -34,38 +34,47 @@ import time
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE")
 
+# DMOE_PAD_PROJ defaults ON since r3 (models/attention.py — bit-exact,
+# measured +4.4%); every leg pins it explicitly so re-running a leg measures
+# the SAME config its committed evidence was captured under.
 MODES: dict[str, dict[str, str]] = {
-    "plain": {},
-    "plain16": {},        # exact bf16 at batch 16 — throughput-vs-batch leg
-    "pad_proj": {"DMOE_PAD_PROJ": "1"},
+    "plain": {"DMOE_PAD_PROJ": "0"},
+    # exact bf16 at batch 16 — throughput-vs-batch leg
+    "plain16": {"DMOE_PAD_PROJ": "0"},
+    "pad_proj": {"DMOE_PAD_PROJ": "1"},   # == the bench/driver default config
     "pad16": {"DMOE_PAD_PROJ": "1"},
-    "wino2": {"DMOE_WINOGRAD": "1"},
-    "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4"},
+    "wino2": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
+    "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4",
+              "DMOE_PAD_PROJ": "0"},
     "wino2_pad": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
     # fused Pallas Winograd (ops/winograd_fused.py): transforms stay in VMEM
     # — the XLA formulation is HBM-bound (dc3_wino 0.7445 vs dc3 1.4265)
-    "winof": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1"},
+    "winof": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1",
+              "DMOE_PAD_PROJ": "0"},
     "winof_pad": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1",
                   "DMOE_PAD_PROJ": "1"},
     "dc3_winof_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1",
                       "DMOE_WINO_FUSED": "1", "DMOE_PAD_PROJ": "1"},
-    "int8": {"DMOE_QUANT": "1"},
-    "int8_wino2": {"DMOE_QUANT": "1", "DMOE_WINOGRAD": "1"},
+    "int8": {"DMOE_QUANT": "1", "DMOE_PAD_PROJ": "0"},
+    "int8_wino2": {"DMOE_QUANT": "1", "DMOE_WINOGRAD": "1",
+                   "DMOE_PAD_PROJ": "0"},
     "int8_pad": {"DMOE_QUANT": "1", "DMOE_PAD_PROJ": "1"},
     "int8_wino2_pad": {"DMOE_QUANT": "1", "DMOE_WINOGRAD": "1",
                        "DMOE_PAD_PROJ": "1"},
-    "dc2": {"DMOE_DEEP_CACHE": "2"},
-    "dc3": {"DMOE_DEEP_CACHE": "3"},
+    "dc2": {"DMOE_DEEP_CACHE": "2", "DMOE_PAD_PROJ": "0"},
+    "dc3": {"DMOE_DEEP_CACHE": "3", "DMOE_PAD_PROJ": "0"},
     # dc3_serve bisection legs (round-2 collapse: the full composition
     # measured 0.6837 vs dc3-alone 1.4279 — which partner kills it?)
-    "dc3_int8": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1"},
-    "dc3_wino": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1"},
+    "dc3_int8": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
+                 "DMOE_PAD_PROJ": "0"},
+    "dc3_wino": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1",
+                 "DMOE_PAD_PROJ": "0"},
     "dc3_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_PAD_PROJ": "1"},
     "dc3_serve": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
                   "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
-    "lcm_sdxl": {"DMOE_BENCH_MODE": "lcm-sdxl"},
+    "lcm_sdxl": {"DMOE_BENCH_MODE": "lcm-sdxl", "DMOE_PAD_PROJ": "0"},
     "lcm_sdxl_serve": {"DMOE_BENCH_MODE": "lcm-sdxl", "DMOE_QUANT": "1",
-                       "DMOE_WINOGRAD": "1"},
+                       "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
 }
 
 # extra argv per leg (bench.py takes [batch [steps]]); legs not listed run

@@ -159,12 +159,17 @@ class Attention(nn.Module):
                                                         round_up_lanes,
                                                         use_flash)
         d_pad = round_up_lanes(head_dim)
-        # DMOE_PAD_PROJ=1: fold the flash head-dim pad into the q/k/v weights
-        # (see _PadHeadProj) — only where the stock flash SELF path will run
-        # ("custom-cross" diverts only cross-attention, so it qualifies too;
-        # "custom"/"custom-self"/"splash" replace the self kernel and don't).
+        # DMOE_PAD_PROJ (default ON since r3): fold the flash head-dim pad
+        # into the q/k/v weights (see _PadHeadProj) — only where the stock
+        # flash SELF path will run ("custom-cross" diverts only
+        # cross-attention, so it qualifies too; "custom"/"custom-self"/
+        # "splash" replace the self kernel and don't). BIT-exact vs the
+        # boundary-pad path (the flash kernel pads d to 128 lanes either way;
+        # this only moves where the zeros are materialized) and measured
+        # +4.4% end-to-end (bench_modes.json pad_proj 1.1221 vs plain 1.0748)
+        # — hence the default. DMOE_PAD_PROJ=0 restores the boundary pad.
         # With quant, the int8 twins keep the same bit-exact-pad guarantee.
-        if (os.environ.get("DMOE_PAD_PROJ", "0") == "1" and is_self
+        if (os.environ.get("DMOE_PAD_PROJ", "1") == "1" and is_self
                 and d_pad != head_dim
                 and os.environ.get("DMOE_FLASH_IMPL", "jax")
                 in ("jax", "custom-cross")

@@ -38,7 +38,9 @@ import os
 import sys
 import time
 
-# Modes share bench_modes.py's knob vocabulary. Each entry RESETS all knobs.
+# Modes share bench_modes.py's knob vocabulary. Each entry RESETS all knobs —
+# unset knobs take the library defaults (DMOE_PAD_PROJ defaults ON since r3;
+# it is bit-exact, so it shifts no quality row, including the reference).
 MODES: dict[str, dict[str, str]] = {
     "pad_proj": {"DMOE_PAD_PROJ": "1"},          # exact by construction
     "int8": {"DMOE_QUANT": "1"},

@@ -20,9 +20,10 @@ TIER = {
     "plain": "exact (headline)", "plain16": "exact", "pad_proj": "exact",
     "pad16": "exact", "int8": "approx (W8A8)", "int8_pad": "approx (W8A8)",
     "wino2": "exact-tier (rounding-scale)", "wino2_pad":
-    "exact-tier (rounding-scale)", "dc2": "approx (DeepCache)",
+    "exact-tier (rounding-scale)", "winof": "exact-tier (rounding-scale)",
+    "winof_pad": "exact-tier (rounding-scale)", "dc2": "approx (DeepCache)",
     "dc3": "approx (DeepCache)", "dc3_int8": "approx", "dc3_wino": "approx",
-    "dc3_pad": "approx", "dc3_serve": "approx",
+    "dc3_pad": "approx", "dc3_serve": "approx", "dc3_winof_pad": "approx",
 }
 
 

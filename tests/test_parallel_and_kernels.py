@@ -279,7 +279,7 @@ def test_pad_proj_attention_matches_plain(monkeypatch, quant):
     attn = attn_mod.Attention(query_dim=64, heads=4, dtype=jnp.float32,
                               quant=quant)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64), jnp.float32)
-    monkeypatch.delenv("DMOE_PAD_PROJ", raising=False)
+    monkeypatch.setenv("DMOE_PAD_PROJ", "0")   # plain arm (default is ON)
     params = attn.init(jax.random.PRNGKey(1), x)
     y0 = attn.apply(params, x)
     # force the pad-proj branch on CPU: pretend the flash path would be taken
