@@ -231,6 +231,7 @@ class _GEGLUProj(nn.Module):
     split: bool = False
     dtype: Any = jnp.float32
     quant: bool = False
+    raw: bool = False        # declare-and-return params (fused-FF kernel path)
 
     @nn.compact
     def __call__(self, x):
@@ -238,6 +239,10 @@ class _GEGLUProj(nn.Module):
                             (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        if self.raw:
+            # fused-FF kernel path (ops/geglu_ff_fused.py): the parent needs
+            # the raw f32 arrays but the SAME 'proj/kernel'+'proj/bias' tree
+            return kernel, bias
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
         h = self.features // 2
@@ -298,6 +303,49 @@ class GEGLUFeedForward(nn.Module):
             tap.any_gate_stat() or tap.any_expert_stat()
             or tap.ff_out_colnorm_sq)
         shape3 = x.shape
+
+        # DMOE_FF_FUSED=1: the whole FF (proj dots + exact GELU + top-k
+        # routing + masked product + out-proj) as ONE Pallas kernel
+        # (ops/geglu_ff_fused.py) — no (B, S, 2H) HBM round-trips. Taken only
+        # on the tap-free serving path with plain-MoE (or no) routing;
+        # everything else falls back to the XLA path below. Trace-time knob,
+        # identical param tree (the 'proj' child runs in raw mode).
+        fused_interp = os.environ.get("DMOE_FF_FUSED_INTERPRET", "0") == "1"
+        if (os.environ.get("DMOE_FF_FUSED", "0") == "1" and gated
+                and not self.quant and not collecting
+                and os.environ.get("DMOE_HOOK_SIM", "0") != "1"
+                and (jax.default_backend() == "tpu" or fused_interp)
+                and (iv is None
+                     or (iv.neuron_mask is None and iv.out_weight_mask is None
+                         and iv.expert_boost is None
+                         and (iv.patterns is None or iv.k > 0)))):
+            from diffusion_models_moe_tpu.ops.geglu_ff_fused import (
+                fused_ff_ok, geglu_ff_fused)
+            pat, kk = None, 0
+            if iv is not None and iv.patterns is not None and iv.k > 0:
+                pat = iv.patterns
+                if iv.expert_remove is not None:
+                    rm = iv.expert_remove[t].astype(pat.dtype)   # (E,)
+                    pat = pat * (1.0 - rm)[:, None]
+                kk = iv.k
+            x2d = x.reshape(-1, shape3[-1])
+            if fused_ff_ok(x2d.shape[0], self.dim, hidden_dim,
+                           0 if pat is None else pat.shape[0]):
+                k_raw, b_raw = _GEGLUProj(2 * hidden_dim, raw=True,
+                                          name="proj")(x)
+                out_k = self.param("out_proj_kernel",
+                                   nn.initializers.lecun_normal(),
+                                   (hidden_dim, self.dim), jnp.float32)
+                out_b = self.param("out_proj_bias", nn.initializers.zeros,
+                                   (self.dim,), jnp.float32)
+                y = geglu_ff_fused(
+                    x2d.astype(self.dtype), k_raw.astype(self.dtype),
+                    b_raw.astype(self.dtype), out_k.astype(self.dtype),
+                    out_b.astype(self.dtype), pat, kk,
+                    relu=self.activation == "geglu-relu",
+                    interpret=fused_interp)
+                return y.reshape(shape3)
+
         flat2d = (os.environ.get("DMOE_FF_2D", "0") == "1"
                   and not collecting and x.ndim == 3)
         if flat2d:

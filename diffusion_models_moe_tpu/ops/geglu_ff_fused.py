@@ -101,10 +101,11 @@ def _plan(n: int, c: int) -> int:
     return nb
 
 
-def fused_ff_ok(n: int, c: int, hdim: int, n_experts: int = 128) -> bool:
-    """Shapes the kernel accepts: H a lane multiple, whole-row blocks."""
+def fused_ff_ok(n: int, c: int, hdim: int, n_experts: int = 0) -> bool:
+    """Shapes the kernel accepts: H a lane multiple, whole-row blocks.
+    n_experts == 0 means no routing (un-moefied FF)."""
     return (hdim % 128 == 0 and hdim == 4 * c and n % 8 == 0
-            and n >= 256 and n_experts >= 8)
+            and n >= 256 and (n_experts == 0 or n_experts >= 8))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "relu", "interpret"))
