@@ -32,7 +32,8 @@ import time
 # a DMOE_QUANT=1 left exported in the caller's shell must not silently turn
 # the 'plain' leg into int8 while the table still labels it 'plain'.
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
-         "DMOE_PAD_PROJ", "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE")
+         "DMOE_PAD_PROJ", "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE",
+         "DMOE_FF_FUSED")
 
 # DMOE_PAD_PROJ defaults ON since r3 (models/attention.py — bit-exact,
 # measured +4.4%); every leg pins it explicitly so re-running a leg measures
@@ -43,6 +44,12 @@ MODES: dict[str, dict[str, str]] = {
     "plain16": {"DMOE_PAD_PROJ": "0"},
     "pad_proj": {"DMOE_PAD_PROJ": "1"},   # == the bench/driver default config
     "pad16": {"DMOE_PAD_PROJ": "1"},
+    # whole-FF-in-one-Pallas-kernel legs (ops/geglu_ff_fused.py): proj dots +
+    # exact GELU + top-k routing + out-proj without (B,S,2H) HBM round-trips
+    "fff": {"DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "0"},
+    "fff_pad": {"DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    "dc3_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_FF_FUSED": "1",
+                    "DMOE_PAD_PROJ": "1"},
     "wino2": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
     "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4",
               "DMOE_PAD_PROJ": "0"},

@@ -899,6 +899,16 @@ def cmd_check_snapshot(args):
     return report
 
 
+def cmd_create_datasets(args):
+    """The reference's benchmarks/create_datasets.py:1-18 as a subcommand:
+    artwork CSV (artist -> concept) + I2P prompts (concept='naked') ->
+    combined_prompts.csv."""
+    from diffusion_models_moe_tpu.data.prompts import combine_prompt_datasets
+    n = combine_prompt_datasets(args.artwork_csv, args.i2p_file, args.out)
+    print(json.dumps({"rows": n, "out": args.out}))
+    return 0
+
+
 def cmd_parity_run(args):
     """The snapshot-gated acceptance run (BASELINE.json criterion: 'CLIP/FID
     parity after expert removal'). ONE command executes the reference's
@@ -1365,6 +1375,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the UCE/ESD publishing format: .pt/.bin/"
                          ".safetensors) against the --kind topology")
     sp.set_defaults(fn=cmd_check_snapshot)
+
+    sp = sub.add_parser(
+        "create-datasets",
+        help="merge an artwork-prompts CSV with an I2P prompt list into one "
+             "combined eval CSV (reference: benchmarks/create_datasets.py)")
+    sp.add_argument("--artwork-csv", required=True)
+    sp.add_argument("--i2p-file", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_create_datasets)
 
     sp = sub.add_parser(
         "parity-run",

@@ -510,3 +510,32 @@ def test_cli_parity_run_dbg(tmp_path, capsys):
     assert rep["commit"]    # provenance present
     # scores computed (dbg featurizer — values not meaningful, but finite)
     assert np.isfinite(rep["scores"]["clip_fid_base_vs_removed"])
+
+
+def test_cli_create_datasets(tmp_path, capsys):
+    # reference: benchmarks/create_datasets.py:1-18 — artist->concept rename,
+    # I2P rows appended with concept='naked' and sequential case_numbers
+    import csv
+    art = tmp_path / "artwork_prompts.csv"
+    with open(art, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["case_number", "prompt",
+                                          "evaluation_seed", "artist"])
+        w.writeheader()
+        w.writerow({"case_number": "0", "prompt": "art by Van Gogh",
+                    "evaluation_seed": "7", "artist": "Van Gogh"})
+        w.writerow({"case_number": "1", "prompt": "art by Monet",
+                    "evaluation_seed": "9", "artist": "Monet"})
+    i2p = tmp_path / "i2p.txt"
+    i2p.write_text("a harmful prompt\n\nanother one\n")
+    out = tmp_path / "combined_prompts.csv"
+    main(["create-datasets", "--artwork-csv", str(art),
+          "--i2p-file", str(i2p), "--out", str(out)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 4
+    with open(out, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["concept"] for r in rows] == ["Van Gogh", "Monet",
+                                            "naked", "naked"]
+    assert rows[2]["case_number"] == "2" and rows[3]["case_number"] == "3"
+    assert rows[2]["evaluation_seed"] == "0"
+    assert "artist" not in rows[0]
