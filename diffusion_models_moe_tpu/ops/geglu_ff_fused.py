@@ -41,9 +41,25 @@ from jax.experimental.pallas import tpu as pltpu
 BISECT_ITERS = 40
 
 
+def _erf(x):
+    """erf from exp-only primitives (Abramowitz & Stegun 7.1.26, max abs err
+    1.5e-7): Mosaic's Pallas TPU lowering has no `erf` primitive (observed:
+    'Unimplemented primitive in Pallas TPU lowering for KernelType.TC: erf'
+    on v5e), so the exact-GELU path builds it from exp/mul/add. The 1.5e-7
+    erf error bounds the GELU error by 0.75e-7*|x| — far inside the kernel's
+    1e-5 parity tolerance and invisible at bf16 output rounding."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.where(x < 0.0, -e, e)
+
+
 def _gelu_exact(x):
-    """Exact (erf) GELU in f32 — matches jax.nn.gelu(approximate=False)."""
-    return x * 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+    """Exact (erf) GELU in f32 — matches jax.nn.gelu(approximate=False) to
+    ~1e-7 (see _erf)."""
+    return x * 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
 def _kth_largest(s, k: int):

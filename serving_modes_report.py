@@ -24,16 +24,23 @@ TIER = {
     "winof_pad": "exact-tier (rounding-scale)", "dc2": "approx (DeepCache)",
     "dc3": "approx (DeepCache)", "dc3_int8": "approx", "dc3_wino": "approx",
     "dc3_pad": "approx", "dc3_serve": "approx", "dc3_winof_pad": "approx",
+    "fff": "exact (fused-FF Pallas)", "fff_pad": "exact (fused-FF Pallas)",
+    "dc3_fff_pad": "approx (DeepCache)",
 }
 
 
 def main() -> int:
     bench = {r["leg"]: r for r in json.load(open("bench_modes.json"))}
-    try:
-        qual = json.load(open("quality_modes.json"))
-        qmodes = qual.get("modes", {})
-    except FileNotFoundError:
-        qual, qmodes = {}, {}
+    qual, qmodes = {}, {}
+    # full-geometry quality run preferred; the tiny CPU smoke is the fallback
+    # evidence (same tool, --tiny) until a full run lands
+    for path in ("quality_modes.json", "quality_modes_tiny.json"):
+        try:
+            qual = json.load(open(path))
+            qmodes = qual.get("modes", {})
+            break
+        except FileNotFoundError:
+            continue
 
     def q(leg, field, alt=None):
         m = qmodes.get(leg) or qmodes.get(alt or "", {})
