@@ -50,9 +50,19 @@ MODES: dict[str, dict[str, str]] = {
     "dc3": {"DMOE_DEEP_CACHE": "3"},
     "dc3_serve": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
                   "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
+    # the measured best approximate legs (bench_modes.json) — pad_proj is
+    # bit-exact so dc3_pad SHOULD equal dc3's row; measured to prove it
+    "dc3_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_PAD_PROJ": "1"},
+    "dc3_winof_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1",
+                      "DMOE_WINO_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    # fused-FF Pallas kernel legs (ops/geglu_ff_fused.py; exact-tier)
+    "fff": {"DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "0"},
+    "fff_pad": {"DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    "dc3_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_FF_FUSED": "1",
+                    "DMOE_PAD_PROJ": "1"},
 }
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
-         "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE")
+         "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE", "DMOE_FF_FUSED")
 
 
 def _set_knobs(extra: dict[str, str]) -> None:
