@@ -124,6 +124,56 @@ class WinoConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class GNFold(nn.Module):
+    """``nn.GroupNorm``-compatible params (same ``scale``/``bias`` pytree and
+    init) returning the folded per-(sample, channel) affine instead of the
+    normalized tensor — consumed by ChainConv's fused prologue."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusion_models_moe_tpu.ops.conv_chain_fused import gn_scale_shift
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return gn_scale_shift(x, gamma, beta, self.num_groups, self.epsilon)
+
+
+class ChainConv(nn.Module):
+    """``nn.Conv``-compatible stride-1 SAME 3x3 conv (same ``kernel``/``bias``
+    pytree and init) running the fused GN+SiLU->conv->bias->residual chain
+    kernel (`ops/conv_chain_fused.py`) — the subsuming kernel ROOFLINE.md §3a
+    calls for. DMOE_CONV_CHAIN=1 serving mode (exact-tier, rounding-scale)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale, shift, extra_bias=None, residual=None):
+        from diffusion_models_moe_tpu.ops.conv_chain_fused import conv3x3_chain
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        bt = jnp.broadcast_to(bias[None].astype(self.dtype),
+                              (x.shape[0], self.features))
+        if extra_bias is not None:
+            bt = bt + extra_bias.astype(self.dtype)
+        res = None if residual is None else residual.astype(self.dtype)
+        return conv3x3_chain(x.astype(self.dtype), kernel.astype(self.dtype),
+                             bt, scale, shift, residual=res)
+
+
+def chain_enabled(h: int, w: int, cin: int, cout: int) -> bool:
+    """DMOE_CONV_CHAIN=1 (trace-time, like DMOE_PAD_PROJ) routes resblock
+    convs through the fused chain kernel at the shapes where it measured
+    faster than the XLA composite on v5e (chain_profitable)."""
+    from diffusion_models_moe_tpu.ops.conv_chain_fused import chain_profitable
+    return (os.environ.get("DMOE_CONV_CHAIN", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and chain_profitable(h, w, cin, cout))
+
+
 def make_conv(features, kernel_size=(3, 3), *, strides=(1, 1), padding=1,
               dtype=jnp.float32, quant=False, winograd=False, name=None):
     """nn.Conv, or its int8 / Winograd twin (identical param tree either way).
@@ -156,17 +206,38 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
         residual = x
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
-                         dtype=self.norm_dtype, name="norm1")(x)
-        h = maybe_barrier(nn.silu(h).astype(self.dtype), "DMOE_CONV_BARRIER",
-                          default="1" if jax.default_backend() == "tpu" else "0")
-        h = make_conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                      quant=self.quant, winograd=self.winograd,
-                      name="conv1")(h)
+        chain = not self.quant and not self.winograd
+        chain1 = chain and chain_enabled(x.shape[1], x.shape[2], x.shape[-1],
+                                         self.out_channels)
+        chain2 = chain and chain_enabled(x.shape[1], x.shape[2],
+                                         self.out_channels, self.out_channels)
+        t = None
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
-            h = h + t[:, None, None, :]
+        if chain1:
+            s1, f1 = GNFold(self.norm_num_groups, self.eps, name="norm1")(x)
+            h = ChainConv(self.out_channels, dtype=self.dtype,
+                          name="conv1")(x, s1, f1, extra_bias=t)
+        else:
+            h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
+                             dtype=self.norm_dtype, name="norm1")(x)
+            h = maybe_barrier(
+                nn.silu(h).astype(self.dtype), "DMOE_CONV_BARRIER",
+                default="1" if jax.default_backend() == "tpu" else "0")
+            h = make_conv(self.out_channels, (3, 3), padding=1,
+                          dtype=self.dtype, quant=self.quant,
+                          winograd=self.winograd, name="conv1")(h)
+            if t is not None:
+                h = h + t[:, None, None, :]
+        if residual.shape[-1] != self.out_channels:
+            residual = make_conv(self.out_channels, (1, 1), padding=0,
+                                 dtype=self.dtype, quant=self.quant,
+                                 name="conv_shortcut")(residual)
+        if chain2:
+            s2, f2 = GNFold(self.norm_num_groups, self.eps, name="norm2")(h)
+            return ChainConv(self.out_channels, dtype=self.dtype,
+                             name="conv2")(h, s2, f2, residual=residual)
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
                          dtype=self.norm_dtype, name="norm2")(h)
         h = maybe_barrier(nn.silu(h).astype(self.dtype), "DMOE_CONV_BARRIER",
@@ -174,10 +245,6 @@ class ResnetBlock2D(nn.Module):
         h = make_conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                       quant=self.quant, winograd=self.winograd,
                       name="conv2")(h)
-        if residual.shape[-1] != self.out_channels:
-            residual = make_conv(self.out_channels, (1, 1), padding=0,
-                                 dtype=self.dtype, quant=self.quant,
-                                 name="conv_shortcut")(residual)
         return h + residual
 
 
