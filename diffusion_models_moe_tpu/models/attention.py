@@ -284,7 +284,13 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, step_idx=None,
                  tap: Optional[TapSpec] = None,
-                 iv: Optional[LayerIntervention] = None):
+                 iv: Optional[LayerIntervention] = None,
+                 ln: Optional[tuple] = None):
+        # ln=(scale, bias, eps): the caller delegates its pre-FF LayerNorm
+        # and residual — this module returns  x + ff(layernorm(x)) , absorbed
+        # into the fused kernel on the hot path (VERDICT r3 #7) and applied
+        # with flax-identical ops on every fallback.
+        resid = x if ln is not None else None
         hidden_dim = self.dim * self.mult
         gated = self.activation in ("geglu", "geglu-relu")
         t = 0 if step_idx is None else step_idx
@@ -338,13 +344,27 @@ class GEGLUFeedForward(nn.Module):
                                    (hidden_dim, self.dim), jnp.float32)
                 out_b = self.param("out_proj_bias", nn.initializers.zeros,
                                    (self.dim,), jnp.float32)
+                ln_kw = {} if ln is None else {
+                    "ln_scale": ln[0], "ln_bias": ln[1], "eps": ln[2]}
                 y = geglu_ff_fused(
                     x2d.astype(self.dtype), k_raw.astype(self.dtype),
                     b_raw.astype(self.dtype), out_k.astype(self.dtype),
                     out_b.astype(self.dtype), pat, kk,
                     relu=self.activation == "geglu-relu",
-                    interpret=fused_interp)
-                return y.reshape(shape3)
+                    interpret=fused_interp, **ln_kw)
+                return y.reshape(shape3)   # residual included when ln given
+
+        if ln is not None:
+            # fallback (taps collecting, shape-gated, or off-TPU): apply the
+            # delegated LayerNorm here with flax-identical ops (fast
+            # variance, rsqrt folded into scale — nn.LayerNorm order)
+            xr = x.astype(jnp.float32)
+            mu = xr.mean(-1, keepdims=True)
+            var = jnp.maximum((xr * xr).mean(-1, keepdims=True) - mu * mu,
+                              0.0)
+            mul = jax.lax.rsqrt(var + ln[2]) * ln[0].astype(jnp.float32)
+            x = ((xr - mu) * mul
+                 + ln[1].astype(jnp.float32)).astype(self.dtype)
 
         flat2d = (os.environ.get("DMOE_FF_2D", "0") == "1"
                   and not collecting and x.ndim == 3)
@@ -478,7 +498,8 @@ class GEGLUFeedForward(nn.Module):
             out = int8_dot(y, kernel) + bias.astype(self.dtype)
         else:
             out = y @ kernel + bias.astype(self.dtype)
-        return out.reshape(shape3[:-1] + out.shape[-1:]) if flat2d else out
+        out = out.reshape(shape3[:-1] + out.shape[-1:]) if flat2d else out
+        return out if resid is None else resid + out
 
     def _sow_gate_stats(self, gate, tap: TapSpec, iv):
         g = gate.reshape(-1, gate.shape[-1]).astype(jnp.float32)
@@ -521,6 +542,16 @@ class GEGLUFeedForward(nn.Module):
             self.sow("taps", f"expert_sel_{self.ff_index:02d}", jnp.sum(sel, axis=0))
 
 
+class _LNParams(nn.Module):
+    """``nn.LayerNorm``-compatible params (same ``scale``/``bias`` pytree and
+    init) returned raw — consumed by GEGLUFeedForward's delegated-LN path."""
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return scale, bias
+
+
 class BasicTransformerBlock(nn.Module):
     """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, residual each.
 
@@ -553,13 +584,23 @@ class BasicTransformerBlock(nn.Module):
                           name="attn2")(maybe_barrier(h, "DMOE_LN_BARRIER"),
                                         context)
         x = maybe_barrier(x, "DMOE_RESID_BARRIER")
+        ff = GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
+                              ff_index=self.ff_index, dtype=self.dtype,
+                              use_fused_routing=self.use_fused_routing,
+                              quant=self.quant, name="ff")
+        import os
+        if (os.environ.get("DMOE_FF_FUSED", "0") == "1"
+                and os.environ.get("DMOE_FF_ABSORB", "1") == "1"
+                and not self.quant):
+            # delegate norm3 + residual to the FF (absorbed into the fused
+            # kernel on the hot path — ops/geglu_ff_fused.py ln_scale/ln_bias;
+            # _LNParams keeps the param pytree identical to nn.LayerNorm)
+            g3, b3 = _LNParams(name="norm3")(x.shape[-1])
+            return ff(x, step_idx=step_idx, tap=tap, iv=iv,
+                      ln=(g3, b3, 1e-5))
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
         h = maybe_barrier(h, "DMOE_LN_BARRIER")
-        x = x + GEGLUFeedForward(self.dim, self.ff_mult, self.ff_activation,
-                                 ff_index=self.ff_index, dtype=self.dtype,
-                                 use_fused_routing=self.use_fused_routing,
-                                 quant=self.quant,
-                                 name="ff")(h, step_idx=step_idx, tap=tap, iv=iv)
+        x = x + ff(h, step_idx=step_idx, tap=tap, iv=iv)
         return x
 
 

@@ -83,9 +83,24 @@ def _kth_largest(s, k: int):
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, pat_ref, y_ref, *,
-            hdim: int, k: int, relu: bool):
+            hdim: int, k: int, relu: bool, g_ref=None, bb_ref=None,
+            eps: float = 1e-5):
     f32 = jnp.float32
     xd = x_ref[...]                                     # (nb, C) model dtype
+    ln_resid = g_ref is not None
+    if ln_resid:
+        # absorbed LayerNorm prologue (VERDICT r3 #7): per-row stats are
+        # local to the row block, so the whole  x + ff(ln(x))  transformer
+        # sub-block fuses — no LN write, no ff-input read, no residual pass.
+        # Fast-variance formula + f32, matching nn.LayerNorm defaults.
+        xr = xd.astype(f32)
+        mu = jnp.mean(xr, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xr * xr, axis=-1, keepdims=True) - mu * mu, 0.0)
+        # flax op order: fold rsqrt into scale first, then one fma
+        mul = jax.lax.rsqrt(var + eps) * g_ref[0]
+        xn = (xr - mu) * mul + bb_ref[0]
+        xd = xn.astype(x_ref.dtype)
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -105,7 +120,10 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, pat_ref, y_ref, *,
 
     prod = (h * ga).astype(xd.dtype)
     y = dot(prod, w2_ref[...]) + b2_ref[0].astype(f32)
-    y_ref[...] = y.astype(y_ref.dtype)
+    y = y.astype(y_ref.dtype)
+    if ln_resid:
+        y = x_ref[...] + y          # residual in model dtype, model order
+    y_ref[...] = y
 
 
 def _plan(n: int, c: int) -> int:
@@ -124,23 +142,30 @@ def fused_ff_ok(n: int, c: int, hdim: int, n_experts: int = 0) -> bool:
             and n >= 256 and (n_experts == 0 or n_experts >= 8))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "relu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "relu", "eps", "interpret"))
 def geglu_ff_fused(x2d: jax.Array, w1: jax.Array, b1: jax.Array,
                    w2: jax.Array, b2: jax.Array,
                    patterns: jax.Array | None = None, k: int = 0,
-                   relu: bool = False, interpret: bool = False) -> jax.Array:
+                   relu: bool = False,
+                   ln_scale: jax.Array | None = None,
+                   ln_bias: jax.Array | None = None,
+                   eps: float = 1e-5,
+                   interpret: bool = False) -> jax.Array:
     """x2d (N, C) @ w1 (C, 2H) -> GEGLU(+route top-k over `patterns` (E, H))
-    -> @ w2 (H, C) + b2. Returns (N, C) in x2d.dtype."""
+    -> @ w2 (H, C) + b2. Returns (N, C) in x2d.dtype.
+
+    With ln_scale/ln_bias (C,) f32 the kernel absorbs the transformer
+    sub-block around the FF:  returns x2d + ff(layernorm(x2d))  — LN
+    prologue and residual epilogue fused (VERDICT r3 #7)."""
     n, c = x2d.shape
     hdim = w1.shape[1] // 2
     assert fused_ff_ok(n, c, hdim, 0 if patterns is None
                        else patterns.shape[0]), (x2d.shape, w1.shape)
+    assert (ln_scale is None) == (ln_bias is None)
     nb = _plan(n, c)
     b1 = b1.reshape(1, -1)
     b2 = b2.reshape(1, -1)
 
-    kernel = functools.partial(_kernel, hdim=hdim, k=k,
-                               relu=relu)
     const = lambda i: (0, 0)                  # noqa: E731 — resident blocks
     in_specs = [
         pl.BlockSpec((nb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -150,12 +175,21 @@ def geglu_ff_fused(x2d: jax.Array, w1: jax.Array, b1: jax.Array,
         pl.BlockSpec(b2.shape, const, memory_space=pltpu.VMEM),
     ]
     args = [x2d, w1, b1, w2, b2]
-    if patterns is not None:
+    has_pat = patterns is not None
+    has_ln = ln_scale is not None
+    if has_pat:
         in_specs.append(pl.BlockSpec(patterns.shape, const,
                                      memory_space=pltpu.VMEM))
         args.append(patterns)
-    else:
-        kernel = functools.partial(_kernel_nopat, hdim=hdim, relu=relu)
+    if has_ln:
+        ln2 = (ln_scale.astype(jnp.float32).reshape(1, -1),
+               ln_bias.astype(jnp.float32).reshape(1, -1))
+        for a in ln2:
+            in_specs.append(pl.BlockSpec(a.shape, const,
+                                         memory_space=pltpu.VMEM))
+            args.append(a)
+    kernel = functools.partial(_dispatch, hdim=hdim, k=k, relu=relu,
+                               has_pat=has_pat, has_ln=has_ln, eps=eps)
 
     return pl.pallas_call(
         kernel,
@@ -171,7 +205,14 @@ def geglu_ff_fused(x2d: jax.Array, w1: jax.Array, b1: jax.Array,
     )(*args)
 
 
-def _kernel_nopat(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
-                  hdim: int, relu: bool):
-    _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, None, y_ref,
-            hdim=hdim, k=0, relu=relu)
+def _dispatch(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest, hdim: int,
+              k: int, relu: bool, has_pat: bool, has_ln: bool, eps: float):
+    """Unpack the optional pattern/LN refs (pallas passes refs positionally)
+    and run the kernel body."""
+    rest = list(rest)
+    pat_ref = rest.pop(0) if has_pat else None
+    g_ref = rest.pop(0) if has_ln else None
+    bb_ref = rest.pop(0) if has_ln else None
+    (y_ref,) = rest
+    _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, pat_ref, y_ref,
+            hdim=hdim, k=k, relu=relu, g_ref=g_ref, bb_ref=bb_ref, eps=eps)

@@ -102,10 +102,18 @@ def accumulate() -> dict:
     return total
 
 
-def main(argv) -> int:
+def step_flops() -> tuple[float, float]:
+    """(logical, MXU-padded-physical) FLOPs of one denoise step — importable
+    (serving_modes_report.py derives per-leg MFU from the physical total)."""
     t = accumulate()
     logical = sum(v for k, v in t.items() if k != "self_dots_padded")
     physical = logical - t["self_dots_logical"] + t["self_dots_padded"]
+    return logical, physical
+
+
+def main(argv) -> int:
+    t = accumulate()
+    logical, physical = step_flops()
     print(f"UNet step @ CFG batch {B}, {LAT}x{LAT} latents (TFLOPs):")
     for k, v in sorted(t.items(), key=lambda kv: -kv[1]):
         print(f"  {k:<20} {v/1e12:7.3f}")

@@ -5,6 +5,10 @@ Merges the two committed evidence files —
   quality_modes.json  (fixed-seed A/B deltas vs exact bf16 + calibration rows)
 — into one audited table (VERDICT r2 item 3). Pure formatting: every number
 in the output is traceable to a committed artifact; nothing is measured here.
+The header names the quality file ACTUALLY loaded and its recorded workload
+(ADVICE r3: the generated doc must not claim SD1.5-geometry evidence when
+the tiny CPU smoke supplied the rows), and each row flags a quality value
+whose source commit differs from the bench leg's (VERDICT r3 #8).
 
   python serving_modes_report.py > SERVING_MODES.md
 """
@@ -15,7 +19,11 @@ import sys
 
 EXACT = {"plain", "plain16", "pad_proj", "pad16", "int8_pad"}
 # int8_pad is exact relative to int8 (the pad twins are bit-exact) but int8
-# itself approximates; tier shows the output-vs-bf16 relationship
+# itself approximates; tier shows the output-vs-bf16 relationship.
+# "exact-tier (rounding-scale)" = same math, different summation/rounding
+# points (bf16-ulp-scale deltas; quality rows sit at the fp32_reference
+# floor): the winograd-fused, fused-FF (erf approximation + absorbed-LN fold
+# order) and fused-chain (GN fold order + tap order) kernels all live here.
 TIER = {
     "plain": "exact (headline)", "plain16": "exact", "pad_proj": "exact",
     "pad16": "exact", "int8": "approx (W8A8)", "int8_pad": "approx (W8A8)",
@@ -24,28 +32,59 @@ TIER = {
     "winof_pad": "exact-tier (rounding-scale)", "dc2": "approx (DeepCache)",
     "dc3": "approx (DeepCache)", "dc3_int8": "approx", "dc3_wino": "approx",
     "dc3_pad": "approx", "dc3_serve": "approx", "dc3_winof_pad": "approx",
-    "fff": "exact (fused-FF Pallas)", "fff_pad": "exact (fused-FF Pallas)",
+    "fff": "exact-tier (rounding-scale)",
+    "fff_pad": "exact-tier (rounding-scale)",
     "dc3_fff_pad": "approx (DeepCache)",
+    "chain_pad": "exact-tier (rounding-scale)",
+    "chain_fff_pad": "exact-tier (rounding-scale)",
+    "dc3_chain_pad": "approx (DeepCache)",
+    "dc3_chain_fff_pad": "approx (DeepCache)",
 }
+PEAK_BF16 = 197e12   # v5e
 
 
 def main() -> int:
     bench = {r["leg"]: r for r in json.load(open("bench_modes.json"))}
-    qual, qmodes = {}, {}
+    qual, qmodes, qual_path = {}, {}, None
     # full-geometry quality run preferred; the tiny CPU smoke is the fallback
     # evidence (same tool, --tiny) until a full run lands
     for path in ("quality_modes.json", "quality_modes_tiny.json"):
         try:
             qual = json.load(open(path))
             qmodes = qual.get("modes", {})
+            qual_path = path
             break
         except FileNotFoundError:
             continue
+    qual_commit = qual.get("commit", "?")
 
-    def q(leg, field, alt=None):
-        m = qmodes.get(leg) or qmodes.get(alt or "", {})
+    # per-leg MFU against the full-step MXU-padded roofline (roofline.py);
+    # only meaningful for legs that execute the full UNet every step —
+    # DeepCache legs skip logical work, so their MFU cell shows n/a
+    try:
+        from roofline import step_flops
+        _, physical = step_flops()
+    except Exception:
+        physical = None
+
+    def mfu(leg, res):
+        v = res.get("value")
+        if (physical is None or not v
+                or "dc" in leg or "lcm" in leg or "16" in leg):
+            return "—"
+        return f"{physical * 50 * v / 8 / PEAK_BF16 * 100:.1f}%"
+
+    def q(leg, field):
+        m = qmodes.get(leg, {})
         v = m.get(field)
         return "—" if v is None else v
+
+    def qflag(leg, bench_commit):
+        """Mark quality cells whose source commit differs from the leg's
+        bench commit (evidence captured at different tree states)."""
+        if leg not in qmodes:
+            return ""
+        return "" if qual_commit == bench_commit else " †"
 
     lines = [
         "# Serving modes: throughput x quality matrix",
@@ -54,24 +93,36 @@ def main() -> int:
         "chip, batch 8 @ 50 steps, host-wide TPU lock, per-run evidence; "
         "`vs est.` is vs the ESTIMATED 0.25 img/s reference hooked-GPU "
         "loop — the reference publishes no numbers, BASELINE.md).",
-        "Quality: committed `quality_modes.json` (fixed-seed A/B vs the "
-        "exact bf16 leg at SD1.5 geometry; random weights — deltas quantify "
-        "NUMERICAL perturbation of the real-geometry program; re-run with "
-        "real weights via the same tool the day a snapshot exists).",
+        f"Quality: committed `{qual_path}` (fixed-seed A/B vs the exact bf16 "
+        f"leg; workload: {qual.get('workload', '—')}; random weights — "
+        "deltas quantify NUMERICAL perturbation of the measured program; "
+        "re-run with real weights via the same tool the day a snapshot "
+        "exists).",
+        "MFU: leg throughput x the analytic MXU-padded step FLOPs "
+        "(roofline.py) over the 197 TF/s v5e bf16 peak; full-work legs only.",
         "",
-        "| mode | tier | img/s | vs est. | latent rel-err | PSNR (dB) | "
-        "CLIP cos | run spread | contended |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| mode | tier | img/s | vs est. | MFU | latent rel-err | PSNR (dB) "
+        "| CLIP cos | run spread | contended |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
+    any_flag = False
     for leg, r in bench.items():
         res = r.get("result") or {}
         ev = res.get("evidence", {})
+        flag = qflag(leg, ev.get("commit", "?"))
+        any_flag = any_flag or bool(flag)
         lines.append(
             f"| {leg} | {TIER.get(leg, '?')} | {res.get('value', '—')} | "
-            f"{res.get('vs_baseline', '—')}x | {q(leg, 'latent_rel_err')} | "
-            f"{q(leg, 'image_psnr_db')} | {q(leg, 'clip_cos')} | "
+            f"{res.get('vs_baseline', '—')}x | {mfu(leg, res)} | "
+            f"{q(leg, 'latent_rel_err')}{flag} | "
+            f"{q(leg, 'image_psnr_db')}{flag} | {q(leg, 'clip_cos')}{flag} | "
             f"{ev.get('spread', '—')} | {ev.get('contended', '—')} |")
-    lines += ["", "## Calibration rows (quality_modes.json)", ""]
+    if any_flag:
+        lines.append("")
+        lines.append(f"† quality row captured at commit `{qual_commit}`, a "
+                     "different tree state than this leg's bench evidence "
+                     "(re-run whichever is stale to reconcile).")
+    lines += ["", f"## Calibration rows (`{qual_path}`)", ""]
     for name in ("plain_rerun", "fp32_reference", "decorrelated"):
         m = qmodes.get(name)
         if not m or "error" in (m or {}):
@@ -86,7 +137,7 @@ def main() -> int:
         f"- bench legs: commits "
         f"{sorted({(r.get('result') or {}).get('evidence', {}).get('commit', '?') for r in bench.values()})}, "
         "knobs + per-run times inside `bench_modes.json`.",
-        f"- quality run: commit `{qual.get('commit', '—')}`, "
+        f"- quality run: `{qual_path}`, commit `{qual_commit}`, "
         f"ts {qual.get('ts_unix', '—')}, workload: "
         f"{qual.get('workload', '—')}; CLIP featurizer: "
         f"{qual.get('clip_featurizer', '—')}.",

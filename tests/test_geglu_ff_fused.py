@@ -84,6 +84,69 @@ def test_fused_ff_scope_gate():
     assert not fused_ff_ok(4096, 320, 1536, 64)   # H != 4C (not GEGLU mult=4)
 
 
+@pytest.mark.parametrize("routed", [False, True])
+def test_fused_ff_absorbed_ln_residual_matches_xla(routed):
+    """ln_scale/ln_bias absorb the transformer sub-block:
+    fused(x) == x + ff(layernorm(x)) (VERDICT r3 #7)."""
+    import flax.linen as nn
+    rng = np.random.RandomState(3)
+    n, c = 256, 64
+    hdim, e, k = 4 * c, 16, 5
+    x = _rand((n, c), rng)
+    w1 = _rand((c, 2 * hdim), rng, 0.05)
+    b1 = _rand((2 * hdim,), rng, 0.1)
+    w2 = _rand((hdim, c), rng, 0.05)
+    b2 = _rand((c,), rng, 0.1)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    bb = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    labels = rng.permutation(np.arange(hdim) % e)
+    patterns = jnp.asarray(
+        (labels[None, :] == np.arange(e)[:, None]).astype(np.float32))
+    pat = patterns if routed else None
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    xn = ln.apply({"params": {"scale": g, "bias": bb}}, x)
+    ref = x + _xla_reference(xn, w1, b1, w2, b2, pat, k)
+    got = geglu_ff_fused(x, w1, b1, w2, b2, pat, k, ln_scale=g, ln_bias=bb,
+                         interpret=True)
+    err = float(jnp.max(jnp.abs(ref - got)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 1e-5, err
+
+
+def test_transformer_block_absorbed_ff_matches_default():
+    """BasicTransformerBlock with DMOE_FF_FUSED=1 (LN+residual delegated to
+    the FF) keeps the param pytree and matches the default path — both via
+    the fused kernel (interpret) and the XLA fallback (taps collecting)."""
+    import os
+
+    from diffusion_models_moe_tpu.models.attention import BasicTransformerBlock
+
+    rng = np.random.RandomState(4)
+    dim = 64
+    x = jnp.asarray(rng.randn(2, 128, dim), jnp.float32)
+    ctx = jnp.asarray(rng.randn(2, 16, 96), jnp.float32)
+    blk = BasicTransformerBlock(dim, 4, 96, ff_index=0, dtype=jnp.float32,
+                                flash_attention=False)
+    params = blk.init(jax.random.PRNGKey(0), x, ctx)
+    y0 = blk.apply(params, x, ctx)
+    os.environ["DMOE_FF_FUSED"] = "1"
+    os.environ["DMOE_FF_FUSED_INTERPRET"] = "1"
+    try:
+        params1 = blk.init(jax.random.PRNGKey(0), x, ctx)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params1))
+        y1 = blk.apply(params, x, ctx)                # fused kernel branch
+        from diffusion_models_moe_tpu.taps import TapSpec
+        y2, _ = blk.apply(params, x, ctx, tap=TapSpec(gate_sparsity=True),
+                          mutable=["taps"])           # XLA fallback branch
+    finally:
+        os.environ.pop("DMOE_FF_FUSED", None)
+        os.environ.pop("DMOE_FF_FUSED_INTERPRET", None)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y2),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_fused_ff_module_dispatch_matches_default():
     """GEGLUFeedForward with DMOE_FF_FUSED=1 (interpret fallback on CPU is the
     XLA path; here we call the kernel directly through the module's fused
