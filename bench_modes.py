@@ -33,7 +33,7 @@ import time
 # the 'plain' leg into int8 while the table still labels it 'plain'.
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE",
-         "DMOE_FF_FUSED")
+         "DMOE_FF_FUSED", "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN")
 
 # DMOE_PAD_PROJ defaults ON since r3 (models/attention.py — bit-exact,
 # measured +4.4%); every leg pins it explicitly so re-running a leg measures
@@ -50,6 +50,16 @@ MODES: dict[str, dict[str, str]] = {
     "fff_pad": {"DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
     "dc3_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_FF_FUSED": "1",
                     "DMOE_PAD_PROJ": "1"},
+    # fused resblock-chain kernel legs (ops/conv_chain_fused.py): GN+SiLU
+    # prologue + direct-conv taps + bias/residual epilogue in one kernel —
+    # the subsuming kernel ROOFLINE.md 3a calls for
+    "chain_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_PAD_PROJ": "1"},
+    "chain_fff_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_FF_FUSED": "1",
+                      "DMOE_PAD_PROJ": "1"},
+    "dc3_chain_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_CONV_CHAIN": "1",
+                      "DMOE_PAD_PROJ": "1"},
+    "dc3_chain_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_CONV_CHAIN": "1",
+                          "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
     "wino2": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
     "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4",
               "DMOE_PAD_PROJ": "0"},

@@ -1054,6 +1054,48 @@ def cmd_parity_run(args):
                         "clip_featurizer": ("ported" if clip_snap
                                             else "tiny-random (dbg)")}
 
+    # ---- 6. serving-mode A/B (VERDICT r3 #6): the acceptance run must also
+    # cover the approximate serving leg it will be judged under — fixed-seed
+    # quality deltas of --mode vs the exact path, same intervention/key -----
+    mode = getattr(args, "mode", None)
+    if mode:
+        import dataclasses
+        MODE_KNOBS: dict = {     # knob env + DeepCache interval per mode
+            "pad_proj": ({"DMOE_PAD_PROJ": "1"}, 0),
+            "dc3": ({"DMOE_PAD_PROJ": "0"}, 3),
+            "dc3_pad": ({"DMOE_PAD_PROJ": "1"}, 3),
+            "fff_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_FF_FUSED": "1"}, 0),
+            "chain_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_CONV_CHAIN": "1"}, 0),
+        }
+        if mode not in MODE_KNOBS:
+            raise SystemExit(f"--mode must be one of {list(MODE_KNOBS)}")
+        knobs, dc = MODE_KNOBS[mode]
+        saved = {k: os.environ.get(k) for k in knobs}
+        os.environ.update(knobs)
+        try:
+            cfg_m = (dataclasses.replace(pipe.config, deep_cache_interval=dc)
+                     if dc else pipe.config)
+            pipe_m = type(pipe)(cfg_m)   # fresh instance: knobs bind at trace
+            lat_m, _ = pipe_m.generate(params, cond0, np.zeros_like(cond0),
+                                       key, num_steps=steps, ivs=ivs_static,
+                                       decode=False)
+        finally:
+            for k, v in saved.items():
+                (os.environ.pop(k, None) if v is None
+                 else os.environ.__setitem__(k, v))
+        a = np.asarray(lat_dyn, np.float32)
+        m_ = np.asarray(lat_m, np.float32)
+        rel = float(np.linalg.norm(m_ - a) / (np.linalg.norm(a) + 1e-12))
+        mse = float(np.mean((m_ - a) ** 2))
+        report["serving_mode"] = {
+            "mode": mode, "knobs": knobs, "deep_cache": dc,
+            "latent_rel_err_vs_exact": round(rel, 6),
+            "latent_mse_vs_exact": mse,
+            "note": ("approximate-leg quality vs the exact path on the SAME "
+                     "removal intervention, key, and steps — the day-one "
+                     "real-weights run produces this verdict alongside the "
+                     "exact scores")}
+
     report["acceptance"] = {
         "bake_parity_ok": report["bake"]["parity_ok"],
         "pipeline_complete": True,
@@ -1113,6 +1155,13 @@ def _write_parity_md(path: str, r: dict) -> None:
         f"{r['scores']['clip_perceptual_base_vs_removed']['mean']:.4f} "
         f"over n={r['scores']['clip_perceptual_base_vs_removed']['n']} "
         f"({r['scores']['clip_featurizer']}) |",
+    ]
+    if "serving_mode" in r:
+        sm = r["serving_mode"]
+        lines.append(
+            f"| serving mode | {sm['mode']}: latent rel-err vs exact = "
+            f"{sm['latent_rel_err_vs_exact']} (same intervention/key) |")
+    lines += [
         "",
         f"**Acceptance:** {r['acceptance']['note']}",
         "",
@@ -1400,6 +1449,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="default: the concept's reference select_ratio")
     sp.add_argument("--clip-snapshot", default=None,
                     help="ported CLIP vision tower for real FID/perceptual")
+    sp.add_argument("--mode", default=None,
+                    help="also A/B one serving mode vs the exact path "
+                         "(pad_proj|dc3|dc3_pad|fff_pad|chain_pad)")
     sp.set_defaults(fn=cmd_parity_run)
 
     sp = sub.add_parser("train"); common(sp)

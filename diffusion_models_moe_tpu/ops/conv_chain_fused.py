@@ -95,13 +95,16 @@ def _kernel(x_ref, s_ref, t_ref, w_ref, bt_ref, *rest, rb: int, wd: int,
         # positions (global rows 0/H+1 in the spatially padded frame, columns
         # 0/W+1 in every band)
         band = pl.program_id(1) % nb
-        rows = (jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wd + 2), 0)
+        # 3D iotas: adding a minor dim to an i1 mask is not a Mosaic no-op
+        # ("Insertion of minor dim ... only supported for 32-bit types"), so
+        # build the mask at broadcastable rank directly
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wd + 2, 1), 0)
                 + rb * band)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wd + 2), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wd + 2, 1), 1)
         h_total = nb * rb
         interior = ((rows >= 1) & (rows <= h_total)
                     & (cols >= 1) & (cols <= wd))
-        xn = jnp.where(interior[..., None], xn, 0.0)
+        xn = jnp.where(interior, xn, 0.0)
     else:
         xn = x
     xn = xn.astype(x_ref.dtype)

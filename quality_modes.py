@@ -60,9 +60,16 @@ MODES: dict[str, dict[str, str]] = {
     "fff_pad": {"DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
     "dc3_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_FF_FUSED": "1",
                     "DMOE_PAD_PROJ": "1"},
+    # fused resblock-chain kernel legs (ops/conv_chain_fused.py; exact-tier)
+    "chain_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_PAD_PROJ": "1"},
+    "chain_fff_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_FF_FUSED": "1",
+                      "DMOE_PAD_PROJ": "1"},
+    "dc3_chain_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_CONV_CHAIN": "1",
+                      "DMOE_PAD_PROJ": "1"},
 }
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
-         "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE", "DMOE_FF_FUSED")
+         "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE", "DMOE_FF_FUSED",
+         "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN")
 
 
 def _set_knobs(extra: dict[str, str]) -> None:

@@ -488,7 +488,7 @@ def test_cli_parity_run_dbg(tmp_path, capsys):
     out = tmp_path / "parity"
     main(["parity-run", "--cpu", "--out-dir", str(out),
           "--concept", "Van Gogh", "--limit", "2", "--steps", "2",
-          "--batch", "2"])
+          "--batch", "2", "--mode", "dc3_pad"])
     acc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert acc["pipeline_complete"]
     assert acc["bake_parity_ok"]
@@ -505,8 +505,15 @@ def test_cli_parity_run_dbg(tmp_path, capsys):
     imgs = sorted(p.name for p in (out / "images").iterdir())
     assert any(n.startswith("sd_") for n in imgs)
     assert any(n.startswith("removed_") for n in imgs)
+    # serving-mode A/B (VERDICT r3 #6): the dbg run covers one approximate
+    # leg end-to-end — dc3_pad latents diverge from exact (DeepCache skips
+    # deep blocks) but by a bounded amount on 2 steps
+    sm = rep["serving_mode"]
+    assert sm["mode"] == "dc3_pad" and sm["deep_cache"] == 3
+    assert 0.0 < sm["latent_rel_err_vs_exact"] < 1.0
     md = (out / "PARITY_RUN.md").read_text()
     assert "dbg (tiny random-init" in md and "parity_ok=True" in md
+    assert "dc3_pad" in md
     assert rep["commit"]    # provenance present
     # scores computed (dbg featurizer — values not meaningful, but finite)
     assert np.isfinite(rep["scores"]["clip_fid_base_vs_removed"])

@@ -85,6 +85,7 @@ for (b, h, w, cin, cout, groups) in SHAPES:
 
     assert chain_ok(h, w, cin, cout)
     t_x = timeit_chained(xla_composite, x, cin, cout)
+    print(f"  {h}x{w}x{cin}->{cout} xla {t_x*1e3:.3f}ms", flush=True)
     t_c = timeit_chained(chain, x, cin, cout)
     ref = np.asarray(jax.jit(xla_composite)(x), np.float32)
     got = np.asarray(jax.jit(chain)(x), np.float32)
