@@ -73,7 +73,7 @@ def gn_scale_shift(x: jax.Array, gamma: jax.Array, beta: jax.Array,
 
 
 def _kernel(x_ref, s_ref, t_ref, w_ref, bt_ref, *rest, rb: int, wd: int,
-            nb: int, prologue: bool, has_res: bool):
+            nb: int, prologue: bool, has_res: bool, im2: bool = False):
     """One (cout-block) x (row-band) tile of the fused chain."""
     if has_res:
         r_ref, y_ref = rest
@@ -110,16 +110,30 @@ def _kernel(x_ref, s_ref, t_ref, w_ref, bt_ref, *rest, rb: int, wd: int,
     xn = xn.astype(x_ref.dtype)
 
     acc = None
-    for dy in range(3):
-        for dx in range(3):
-            # row slice on the untiled band dim (free); column slice is a
-            # unit-offset sublane window (winograd_fused.py pattern); the
-            # reshape merges (rb, wd) with wd a sublane-tile multiple
-            v = xn[dy:dy + rb, dx:dx + wd].reshape(n, cin)
+    if im2:
+        # width-im2col: ONE concat of the 3 dx-shifted windows on the lane
+        # dim (Cin pre-padded to a 128 multiple outside, so the concat
+        # offsets are lane-tile aligned), then 3 (n, 3Cin)x(3Cin, coutb)
+        # dots — 3 rotates + 3 dots instead of tap9's 9+9; same padded MACs
+        xn3 = jnp.concatenate([xn[:, dx:dx + wd] for dx in range(3)],
+                              axis=-1)                   # (rb+2, wd, 3Cin)
+        for dy in range(3):
+            v = xn3[dy:dy + rb].reshape(n, 3 * cin)
             p = jax.lax.dot_general(
-                v, w_ref[3 * dy + dx], (((1,), (0,)), ((), ())),
+                v, w_ref[dy], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (n, coutb)
             acc = p if acc is None else acc + p
+    else:
+        for dy in range(3):
+            for dx in range(3):
+                # row slice on the untiled band dim (free); column slice is a
+                # unit-offset sublane window (winograd_fused.py pattern); the
+                # reshape merges (rb, wd) with wd a sublane-tile multiple
+                v = xn[dy:dy + rb, dx:dx + wd].reshape(n, cin)
+                p = jax.lax.dot_general(
+                    v, w_ref[3 * dy + dx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (n, coutb)
+                acc = p if acc is None else acc + p
 
     y = acc.astype(y_ref.dtype) + bt_ref[0]              # bias(+time), bf16
     if has_res:
@@ -155,36 +169,72 @@ def chain_ok(h: int, w: int, cin: int, cout: int) -> bool:
 
 
 def chain_profitable(h: int, w: int, cin: int, cout: int) -> bool:
-    """Shapes where the fused chain measured faster than the XLA composite
-    (GN+SiLU barrier -> direct conv -> bias/residual) on v5e — see
-    tools/chain_micro.py results in ROOFLINE.md §4b."""
-    return chain_ok(h, w, cin, cout)
+    """Shapes where the fused chain measured FASTER than the XLA composite
+    (GN stats -> normalize+SiLU -> barrier -> direct conv -> bias ->
+    residual) on v5e, tools/chain_micro.py 2026-08-20 (ROOFLINE.md §4b):
+
+      16x16x1280->1280  3.213 -> 1.939 ms  (1.657x)  <- the big one: XLA's
+                        composite is elementwise-bound at 16x16 (37.6 TF/s)
+      32x32x 640-> 640  2.046 -> 1.992 ms  (1.027x)
+      32x32x 960-> 640  2.805 -> 2.728 ms  (1.028x)
+
+    Losers stay on the XLA path: all 64x64 shapes (0.84-0.96x — at wd=64 the
+    9 per-tap sublane-window copies outrun the dots), 32x32x1280->640
+    (0.867x) and 16x16x2560->1280 (0.977x) (XLA's conv already runs at
+    77-89 TF/s there)."""
+    if not chain_ok(h, w, cin, cout):
+        return False
+    if h == 16 and w == 16:
+        return cin == 1280 and cout == 1280
+    if h == 32 and w == 32:
+        return cout == 640 and cin in (640, 960)
+    return False
 
 
 @functools.partial(
-    jax.jit, static_argnames=("prologue", "interpret"))
+    jax.jit, static_argnames=("prologue", "variant", "interpret"))
 def conv3x3_chain(x: jax.Array, w: jax.Array, bt: jax.Array,
                   scale: jax.Array | None = None,
                   shift: jax.Array | None = None,
                   residual: jax.Array | None = None,
                   prologue: bool = True,
+                  variant: str = "tap9",
                   interpret: bool = False) -> jax.Array:
     """Fused [GN-affine+SiLU ->] 3x3 SAME conv [-> +bias/time -> +residual].
 
     x (B, H, W, Cin) bf16; w HWIO (3, 3, Cin, Cout); bt (B, Cout) per-sample
     bias (conv bias + optional time-embedding projection, model dtype);
     scale/shift (B, Cin) f32 from gn_scale_shift (required when prologue);
-    residual (B, H, W, Cout) optional.
+    residual (B, H, W, Cout) optional. variant: "tap9" (9 per-tap dots) or
+    "im2col3" (in-kernel width-im2col, 3 dots of K=3*Cin — fewer
+    sublane-window copies per band; Cin is lane-padded outside so the concat
+    is tile-aligned and the padded MAC count is identical).
     """
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
     assert chain_ok(h, wd, cin, cout), (x.shape, w.shape)
+    assert variant in ("tap9", "im2col3"), variant
+    im2 = variant == "im2col3"
+    if im2 and cin % 128:
+        cp = ((cin + 127) // 128) * 128
+        # zero lane-pad: zero scale/shift keep the padded channels at
+        # silu(0)=0 through the prologue; zero weight rows contribute zero
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - cin)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
+        if scale is not None:
+            scale = jnp.pad(scale, ((0, 0), (0, cp - cin)))
+            shift = jnp.pad(shift, ((0, 0), (0, cp - cin)))
+        cin = cp
     rb = _plan_rb(h, wd)
     nb = h // rb
     coutb = _plan_coutb(cin, cout)
     has_res = residual is not None
 
-    w9 = w.reshape(9, cin, cout).astype(x.dtype)
+    if im2:
+        # (3, 3*Cin, Cout): rows dx*Cin + c of plane dy hold w[dy, dx, c]
+        w9 = w.reshape(3, 3 * cin, cout).astype(x.dtype)
+    else:
+        w9 = w.reshape(9, cin, cout).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     if nb > 1:
         xb = jnp.stack([xp[:, rb * i: rb * i + rb + 2] for i in range(nb)],
@@ -201,7 +251,8 @@ def conv3x3_chain(x: jax.Array, w: jax.Array, bt: jax.Array,
     bt3 = bt.reshape(b, 1, cout).astype(x.dtype)
 
     kernel = functools.partial(_kernel, rb=rb, wd=wd, nb=nb,
-                               prologue=prologue, has_res=has_res)
+                               prologue=prologue, has_res=has_res, im2=im2)
+    wspec = ((3, 3 * cin, coutb) if im2 else (9, cin, coutb))
     in_specs = [
         pl.BlockSpec((1, rb + 2, wd + 2, cin), lambda co, i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -209,7 +260,7 @@ def conv3x3_chain(x: jax.Array, w: jax.Array, bt: jax.Array,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, cin), lambda co, i: (i // nb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((9, cin, coutb), lambda co, i: (0, 0, co),
+        pl.BlockSpec(wspec, lambda co, i: (0, 0, co),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, coutb), lambda co, i: (i // nb, 0, co),
                      memory_space=pltpu.VMEM),

@@ -58,12 +58,14 @@ CHAIN = functools.partial(conv3x3_chain, interpret=True)
     (1, 32, 32, 48, 160),    # multi-band (rb < h), non-tile channels
 ])
 @pytest.mark.parametrize("res", [True, False])
-def test_chain_matches_xla_composite_f32(shape, res):
+@pytest.mark.parametrize("variant", ["tap9", "im2col3"])
+def test_chain_matches_xla_composite_f32(shape, res, variant):
     groups, eps = 8, 1e-5
     x, k, bt, gamma, beta, r = _mk(shape, jnp.float32, res=res)
     assert chain_ok(*shape[1:])
     scale, shift = gn_scale_shift(x, gamma, beta, groups, eps)
-    got = np.asarray(CHAIN(x, k, bt, scale, shift, residual=r))
+    got = np.asarray(CHAIN(x, k, bt, scale, shift, residual=r,
+                           variant=variant))
     ref = np.asarray(_ref_chain(x, k, bt, gamma, beta, groups, eps,
                                 residual=r))
     scale_ = np.abs(ref).max() + 1e-9
