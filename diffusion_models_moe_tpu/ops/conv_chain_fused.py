@@ -75,6 +75,9 @@ def gn_scale_shift(x: jax.Array, gamma: jax.Array, beta: jax.Array,
 def _kernel(x_ref, s_ref, t_ref, w_ref, bt_ref, *rest, rb: int, wd: int,
             nb: int, prologue: bool, has_res: bool, im2: bool = False):
     """One (cout-block) x (row-band) tile of the fused chain."""
+    im2_ref = None
+    if im2:
+        *rest, im2_ref = rest
     if has_res:
         r_ref, y_ref = rest
     else:
@@ -111,12 +114,16 @@ def _kernel(x_ref, s_ref, t_ref, w_ref, bt_ref, *rest, rb: int, wd: int,
 
     acc = None
     if im2:
-        # width-im2col: ONE concat of the 3 dx-shifted windows on the lane
-        # dim (Cin pre-padded to a 128 multiple outside, so the concat
-        # offsets are lane-tile aligned), then 3 (n, 3Cin)x(3Cin, coutb)
-        # dots — 3 rotates + 3 dots instead of tap9's 9+9; same padded MACs
-        xn3 = jnp.concatenate([xn[:, dx:dx + wd] for dx in range(3)],
-                              axis=-1)                   # (rb+2, wd, 3Cin)
+        # width-im2col: stage the 3 dx-shifted windows side-by-side in a VMEM
+        # scratch (the stores normalize each slice's sublane offset — a
+        # direct lane-dim concat of differently-offset windows is a Mosaic
+        # "offset mismatch on non-concat dimension" compile error), then 3
+        # (n, 3Cin)x(3Cin, coutb) dots — 3 staged copies + 3 dots instead of
+        # tap9's 9 window copies + 9 dots; same padded MACs (Cin pre-padded
+        # to a 128 multiple outside, so the scratch offsets are lane-aligned)
+        for dx in range(3):
+            im2_ref[:, :, dx * cin:(dx + 1) * cin] = xn[:, dx:dx + wd]
+        xn3 = im2_ref[...]                               # (rb+2, wd, 3Cin)
         for dy in range(3):
             v = xn3[dy:dy + rb].reshape(n, 3 * cin)
             p = jax.lax.dot_general(
@@ -283,6 +290,8 @@ def conv3x3_chain(x: jax.Array, w: jax.Array, bt: jax.Array,
                                lambda co, i: (i // nb, i % nb, 0, co),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+        scratch_shapes=([pltpu.VMEM((rb + 2, wd, 3 * cin), x.dtype)]
+                        if im2 else []),
         interpret=interpret,
     )(*args)
     return out

@@ -44,14 +44,19 @@ import time
 MODES: dict[str, dict[str, str]] = {
     "pad_proj": {"DMOE_PAD_PROJ": "1"},          # exact by construction
     "int8": {"DMOE_QUANT": "1"},
+    # pad_proj is bit-exact, so every *_pad row SHOULD equal its unpadded
+    # twin — measured anyway (VERDICT r3: "asserted, not measured")
+    "int8_pad": {"DMOE_QUANT": "1", "DMOE_PAD_PROJ": "1"},
     "wino2": {"DMOE_WINOGRAD": "1"},
     "winof": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1"},
+    "winof_pad": {"DMOE_WINOGRAD": "1", "DMOE_WINO_FUSED": "1",
+                  "DMOE_PAD_PROJ": "1"},
     "dc2": {"DMOE_DEEP_CACHE": "2"},
     "dc3": {"DMOE_DEEP_CACHE": "3"},
+    "dc3_int8": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1"},
+    "dc3_wino": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1"},
     "dc3_serve": {"DMOE_DEEP_CACHE": "3", "DMOE_QUANT": "1",
                   "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "1"},
-    # the measured best approximate legs (bench_modes.json) — pad_proj is
-    # bit-exact so dc3_pad SHOULD equal dc3's row; measured to prove it
     "dc3_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_PAD_PROJ": "1"},
     "dc3_winof_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_WINOGRAD": "1",
                       "DMOE_WINO_FUSED": "1", "DMOE_PAD_PROJ": "1"},
@@ -66,6 +71,8 @@ MODES: dict[str, dict[str, str]] = {
                       "DMOE_PAD_PROJ": "1"},
     "dc3_chain_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_CONV_CHAIN": "1",
                       "DMOE_PAD_PROJ": "1"},
+    "dc3_chain_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_CONV_CHAIN": "1",
+                          "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
 }
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE", "DMOE_FF_FUSED",

@@ -74,17 +74,28 @@ def main() -> int:
             return "—"
         return f"{physical * 50 * v / 8 / PEAK_BF16 * 100:.1f}%"
 
+    # bench legs whose quality row lives under another name: `plain` IS the
+    # quality reference (its determinism row is plain_rerun); plain16/pad16
+    # are batch-16 THROUGHPUT legs of the same configs quality measures at
+    # the fixed batch-8 workload
+    QUAL_ALIAS = {"plain": "plain_rerun", "plain16": "plain_rerun",
+                  "pad16": "pad_proj"}
+
     def q(leg, field):
-        m = qmodes.get(leg, {})
+        m = qmodes.get(QUAL_ALIAS.get(leg, leg), {})
         v = m.get(field)
         return "—" if v is None else v
 
     def qflag(leg, bench_commit):
         """Mark quality cells whose source commit differs from the leg's
-        bench commit (evidence captured at different tree states)."""
-        if leg not in qmodes:
+        bench commit (evidence captured at different tree states); aliased
+        rows (see QUAL_ALIAS) get ‡."""
+        if QUAL_ALIAS.get(leg, leg) not in qmodes:
             return ""
-        return "" if qual_commit == bench_commit else " †"
+        mark = "" if qual_commit == bench_commit else " †"
+        if leg in QUAL_ALIAS:
+            mark += " ‡"
+        return mark
 
     lines = [
         "# Serving modes: throughput x quality matrix",
@@ -122,6 +133,11 @@ def main() -> int:
         lines.append(f"† quality row captured at commit `{qual_commit}`, a "
                      "different tree state than this leg's bench evidence "
                      "(re-run whichever is stale to reconcile).")
+        lines.append("‡ quality row measured under the leg's config at the "
+                     "fixed batch-8 quality workload: `plain` is the quality "
+                     "reference itself (determinism row `plain_rerun`); "
+                     "`plain16`/`pad16` are batch-16 throughput legs of the "
+                     "`plain`/`pad_proj` configs.")
     lines += ["", f"## Calibration rows (`{qual_path}`)", ""]
     for name in ("plain_rerun", "fp32_reference", "decorrelated"):
         m = qmodes.get(name)
