@@ -33,7 +33,8 @@ import time
 # the 'plain' leg into int8 while the table still labels it 'plain'.
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE",
-         "DMOE_FF_FUSED", "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN")
+         "DMOE_FF_FUSED", "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN",
+         "DMOE_CHAIN_SHAPES")
 
 # DMOE_PAD_PROJ defaults ON since r3 (models/attention.py — bit-exact,
 # measured +4.4%); every leg pins it explicitly so re-running a leg measures
@@ -60,6 +61,13 @@ MODES: dict[str, dict[str, str]] = {
                       "DMOE_PAD_PROJ": "1"},
     "dc3_chain_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_CONV_CHAIN": "1",
                           "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    # chain restricted to the one 1.657x micro-win site (16x16x1280->1280):
+    # bisects whether the 32x32 marginal wins carry the end-to-end boundary
+    # tax that made chain_pad negative (ROOFLINE.md §3d)
+    "chain16_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_CHAIN_SHAPES": "16",
+                    "DMOE_PAD_PROJ": "1"},
+    "chain16_fff_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_CHAIN_SHAPES": "16",
+                        "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
     "wino2": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
     "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4",
               "DMOE_PAD_PROJ": "0"},

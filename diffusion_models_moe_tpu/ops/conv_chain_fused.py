@@ -44,6 +44,7 @@ against the fp32_reference floor.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -188,12 +189,18 @@ def chain_profitable(h: int, w: int, cin: int, cout: int) -> bool:
     Losers stay on the XLA path: all 64x64 shapes (0.84-0.96x — at wd=64 the
     9 per-tap sublane-window copies outrun the dots), 32x32x1280->640
     (0.867x) and 16x16x2560->1280 (0.977x) (XLA's conv already runs at
-    77-89 TF/s there)."""
+    77-89 TF/s there).
+
+    DMOE_CHAIN_SHAPES restricts dispatch further (end-to-end bisection:
+    chain_pad measured -4.3% despite these micro wins — ROOFLINE.md §3d —
+    so which call sites carry the boundary tax?): "16" = only the 1.657x
+    16x16x1280->1280 sites; default "16,32" = all micro winners."""
     if not chain_ok(h, w, cin, cout):
         return False
-    if h == 16 and w == 16:
+    allowed = os.environ.get("DMOE_CHAIN_SHAPES", "16,32").split(",")
+    if h == 16 and w == 16 and "16" in allowed:
         return cin == 1280 and cout == 1280
-    if h == 32 and w == 32:
+    if h == 32 and w == 32 and "32" in allowed:
         return cout == 640 and cin in (640, 960)
     return False
 

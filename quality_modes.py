@@ -76,7 +76,7 @@ MODES: dict[str, dict[str, str]] = {
 }
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE", "DMOE_FF_FUSED",
-         "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN")
+         "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN", "DMOE_CHAIN_SHAPES")
 
 
 def _set_knobs(extra: dict[str, str]) -> None:

@@ -36,7 +36,9 @@ TIER = {
     "fff_pad": "exact-tier (rounding-scale)",
     "dc3_fff_pad": "approx (DeepCache)",
     "chain_pad": "exact-tier (rounding-scale)",
+    "chain16_pad": "exact-tier (rounding-scale)",
     "chain_fff_pad": "exact-tier (rounding-scale)",
+    "chain16_fff_pad": "exact-tier (rounding-scale)",
     "dc3_chain_pad": "approx (DeepCache)",
     "dc3_chain_fff_pad": "approx (DeepCache)",
 }
