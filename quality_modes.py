@@ -85,6 +85,24 @@ def _set_knobs(extra: dict[str, str]) -> None:
     os.environ.update(extra)
 
 
+def _with_retry(fn, what: str, tries: int = 3, pause: float = 45.0):
+    """Bounded retry for transient axon-tunnel failures (broken pipe /
+    HTTP 500 mid-compile — observed 2026-08-21 killing a 30-min quality run
+    at the REFERENCE featurize, before any row flushed). A failed compile is
+    not cached, so re-calling re-triggers it cleanly."""
+    import time as _t
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:
+            if i == tries - 1:
+                raise
+            print(f"# {what}: {type(e).__name__}: {e} — retry "
+                  f"{i + 1}/{tries - 1} in {pause:.0f}s",
+                  file=sys.stderr, flush=True)
+            _t.sleep(pause)
+
+
 def _build(mode_env: dict[str, str], tiny: bool):
     """Fresh pipeline for a mode. DMOE_PAD_PROJ is read at trace time
     (models/attention.py), so knobs are set BEFORE construction and each mode
@@ -228,20 +246,27 @@ def main(argv: list[str]) -> int:
             json.dump(report, f, indent=1)
 
     t0 = time.perf_counter()
-    rl, ri = _run(pipe, params, cond, uncond, key, steps, ivs)
-    rf = feats(ri)
+    rl, ri = _with_retry(
+        lambda: _run(pipe, params, cond, uncond, key, steps, ivs),
+        "plain reference")
+    rf = _with_retry(lambda: feats(ri), "reference featurize")
     ref = (rl, ri, rf)
     print(f"# plain (reference) {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
     # exactness sanity: plain re-run, same key -> bit-identical
-    rl2, ri2 = _run(_build({}, tiny), params, cond, uncond, key, steps, ivs)
+    rl2, ri2 = _with_retry(
+        lambda: _run(_build({}, tiny), params, cond, uncond, key, steps, ivs),
+        "plain_rerun")
     report["modes"]["plain_rerun"] = dict(
         _metrics(rl2, ri2, feats(ri2), ref), exact=True,
         note="same key, fresh pipeline instance: determinism check")
+    flush()
     # calibration floor: plain under a different key = unrelated image
-    dl, di = _run(pipe, params, cond, uncond, jax.random.PRNGKey(4), steps,
-                  ivs)
+    dl, di = _with_retry(
+        lambda: _run(pipe, params, cond, uncond, jax.random.PRNGKey(4), steps,
+                     ivs),
+        "decorrelated")
     report["modes"]["decorrelated"] = dict(
         _metrics(dl, di, feats(di), ref), exact=False,
         note="plain bf16, DIFFERENT key: the 'completely different image' "
@@ -261,7 +286,9 @@ def main(argv: list[str]) -> int:
             params32 = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.float32) if hasattr(x, "astype") else x,
                 params)
-            fl, fi = _run(pipe32, params32, cond, uncond, key, steps, ivs)
+            fl, fi = _with_retry(
+                lambda: _run(pipe32, params32, cond, uncond, key, steps, ivs),
+                "fp32_reference")
             report["modes"]["fp32_reference"] = dict(
                 _metrics(fl, fi, feats(fi), ref), exact=True,
                 note="same weights/key at fp32 compute: the bf16 rounding "
@@ -274,9 +301,11 @@ def main(argv: list[str]) -> int:
     for name in names:
         t0 = time.perf_counter()
         try:
-            p = _build(MODES[name], tiny)
-            lat, img = _run(p, params, cond, uncond, key, steps, ivs)
-            m = _metrics(lat, img, feats(img), ref)
+            def one(name=name):
+                p = _build(MODES[name], tiny)
+                lat, img = _run(p, params, cond, uncond, key, steps, ivs)
+                return _metrics(lat, img, feats(img), ref)
+            m = _with_retry(one, name)
         except Exception as e:  # record and continue: partial matrix > none
             m = {"error": f"{type(e).__name__}: {e}"}
         m["wall_s"] = round(time.perf_counter() - t0, 1)
