@@ -140,6 +140,16 @@ def main() -> int:
                      "reference itself (determinism row `plain_rerun`); "
                      "`plain16`/`pad16` are batch-16 throughput legs of the "
                      "`plain`/`pad_proj` configs.")
+    if qual.get("workload", "").startswith("tiny") and any(
+            "—" in line for line in lines):
+        lines.append("")
+        lines.append("Legs with an empty quality cell are the Pallas-kernel "
+                     "modes (winof/fff/chain): their kernels dispatch only on "
+                     "a TPU backend, so a tiny CPU run would measure the XLA "
+                     "fallback and mislabel it as kernel evidence — those "
+                     "rows come only from the full-geometry on-chip run "
+                     "(`python quality_modes.py`, pending tunnel health — "
+                     "VERDICT_RESPONSE.md r4 item 2).")
     lines += ["", f"## Calibration rows (`{qual_path}`)", ""]
     for name in ("plain_rerun", "fp32_reference", "decorrelated"):
         m = qmodes.get(name)
