@@ -38,8 +38,8 @@ Numerics: prologue in f32 (matches nn.GroupNorm(dtype=f32) + silu-then-cast),
 conv taps accumulate f32, epilogue adds in bf16 in model order. Output
 differs from the XLA path only at rounding scale (fold order of the GN
 affine, tap summation order, exp-based sigmoid) — the same exact-tier
-(rounding-scale) class as winograd_fused; quality_modes.json quantifies it
-against the fp32_reference floor.
+(rounding-scale) class as winograd_fused; quality_modes.py's chain rows
+quantify it against the fp32_reference floor.
 """
 from __future__ import annotations
 
