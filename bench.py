@@ -55,6 +55,9 @@ twins keep it bit-exact too),
 DMOE_DEEP_CACHE=N (DeepCache serving mode: full UNet every N-th step, shallow
 cached-deep-feature forward otherwise — approximate, composes with the other
 serving modes),
+DMOE_ATTN_ABSORB=1 (absorbed attention sub-block: LN+qkv prologue and
+out-proj+residual epilogue as Pallas kernels around the stock flash call,
+ops/attn_absorb_fused.py — exact-tier; bench_modes.json attnabs_* legs),
 DMOE_BENCH_MODE=lcm-sdxl (moefied SDXL-LCM @ 4 steps, batch 2 — the
 reference's few-step operating point, BASELINE.md "LCM: 4 steps"; reports
 no vs_baseline multiple since the 0.25 estimate is SD1.5-specific).

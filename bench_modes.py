@@ -34,7 +34,7 @@ import time
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_BENCH_MODE", "DMOE_DEEP_CACHE",
          "DMOE_FF_FUSED", "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN",
-         "DMOE_CHAIN_SHAPES")
+         "DMOE_CHAIN_SHAPES", "DMOE_ATTN_ABSORB")
 
 # DMOE_PAD_PROJ defaults ON since r3 (models/attention.py — bit-exact,
 # measured +4.4%); every leg pins it explicitly so re-running a leg measures
@@ -68,6 +68,15 @@ MODES: dict[str, dict[str, str]] = {
                     "DMOE_PAD_PROJ": "1"},
     "chain16_fff_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_CHAIN_SHAPES": "16",
                         "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    # absorbed-attention kernel legs (ops/attn_absorb_fused.py): LN+qkv
+    # prologue writing flash's (B,H,S,d) layout + out-proj+residual epilogue
+    # consuming it — the last un-attacked S-minor residual (ROOFLINE.md §2,
+    # VERDICT r4 item 3)
+    "attnabs_pad": {"DMOE_ATTN_ABSORB": "1", "DMOE_PAD_PROJ": "1"},
+    "attnabs_fff_pad": {"DMOE_ATTN_ABSORB": "1", "DMOE_FF_FUSED": "1",
+                        "DMOE_PAD_PROJ": "1"},
+    "dc3_attnabs_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_ATTN_ABSORB": "1",
+                            "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
     "wino2": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
     "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4",
               "DMOE_PAD_PROJ": "0"},

@@ -1060,21 +1060,50 @@ def cmd_parity_run(args):
     mode = getattr(args, "mode", None)
     if mode:
         import dataclasses
-        MODE_KNOBS: dict = {     # knob env + DeepCache interval per mode
-            "pad_proj": ({"DMOE_PAD_PROJ": "1"}, 0),
-            "dc3": ({"DMOE_PAD_PROJ": "0"}, 3),
-            "dc3_pad": ({"DMOE_PAD_PROJ": "1"}, 3),
-            "fff_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_FF_FUSED": "1"}, 0),
-            "chain_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_CONV_CHAIN": "1"}, 0),
+        # mode -> (env knobs, DeepCache interval, tier rel-err bound):
+        # exact modes must be bit-identical (1e-6); exact-tier kernel modes
+        # sit at dtype-rounding scale (0.02 covers bf16 end-to-end; the
+        # full-geometry numbers live in quality_modes.json); DeepCache modes
+        # approximate but must stay far under the ~1.4 decorrelated floor.
+        # Covers every promoted/bench-advertised leg (VERDICT r4 item 7).
+        MODE_KNOBS: dict = {
+            "pad_proj": ({"DMOE_PAD_PROJ": "1"}, 0, 1e-6),
+            "dc3": ({"DMOE_PAD_PROJ": "0"}, 3, 0.5),
+            "dc3_pad": ({"DMOE_PAD_PROJ": "1"}, 3, 0.5),
+            "fff_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_FF_FUSED": "1"}, 0,
+                        0.02),
+            "chain_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_CONV_CHAIN": "1"}, 0,
+                          0.02),
+            "chain16_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_CONV_CHAIN": "1",
+                             "DMOE_CHAIN_SHAPES": "16"}, 0, 0.02),
+            "winof_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_WINOGRAD": "1",
+                           "DMOE_WINO_FUSED": "1"}, 0, 0.02),
+            "attnabs_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_ATTN_ABSORB": "1"},
+                            0, 0.02),
+            "attnabs_fff_pad": ({"DMOE_PAD_PROJ": "1",
+                                 "DMOE_ATTN_ABSORB": "1",
+                                 "DMOE_FF_FUSED": "1"}, 0, 0.02),
+            "dc3_fff_pad": ({"DMOE_PAD_PROJ": "1", "DMOE_FF_FUSED": "1"}, 3,
+                            0.5),
+            "dc3_attnabs_fff_pad": ({"DMOE_PAD_PROJ": "1",
+                                     "DMOE_ATTN_ABSORB": "1",
+                                     "DMOE_FF_FUSED": "1"}, 3, 0.5),
         }
         if mode not in MODE_KNOBS:
             raise SystemExit(f"--mode must be one of {list(MODE_KNOBS)}")
-        knobs, dc = MODE_KNOBS[mode]
+        knobs, dc, tier_bound = MODE_KNOBS[mode]
         saved = {k: os.environ.get(k) for k in knobs}
         os.environ.update(knobs)
         try:
-            cfg_m = (dataclasses.replace(pipe.config, deep_cache_interval=dc)
-                     if dc else pipe.config)
+            cfg_m = pipe.config
+            if dc:
+                cfg_m = dataclasses.replace(cfg_m, deep_cache_interval=dc)
+            if knobs.get("DMOE_WINOGRAD") == "1":
+                # winograd binds via config, not env (quality_modes._build)
+                cfg_m = dataclasses.replace(
+                    cfg_m,
+                    unet=dataclasses.replace(cfg_m.unet, conv_winograd=True),
+                    vae=dataclasses.replace(cfg_m.vae, conv_winograd=True))
             pipe_m = type(pipe)(cfg_m)   # fresh instance: knobs bind at trace
             lat_m, _ = pipe_m.generate(params, cond0, np.zeros_like(cond0),
                                        key, num_steps=steps, ivs=ivs_static,
@@ -1087,10 +1116,26 @@ def cmd_parity_run(args):
         m_ = np.asarray(lat_m, np.float32)
         rel = float(np.linalg.norm(m_ - a) / (np.linalg.norm(a) + 1e-12))
         mse = float(np.mean((m_ - a) ** 2))
+        # committed-matrix cross-check: if the serving matrix is on disk
+        # (repo-root tooling), attach the mode's full-geometry row so the
+        # day-one real-weights run adjudicates against the same evidence
+        matrix_row = None
+        for qp in ("quality_modes.json",
+                   os.path.join(os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))), "quality_modes.json")):
+            try:
+                with open(qp) as f:
+                    matrix_row = json.load(f)["modes"].get(mode)
+                break
+            except (FileNotFoundError, KeyError, ValueError):
+                continue
         report["serving_mode"] = {
             "mode": mode, "knobs": knobs, "deep_cache": dc,
             "latent_rel_err_vs_exact": round(rel, 6),
             "latent_mse_vs_exact": mse,
+            "tier_bound": tier_bound,
+            "tier_ok": bool(rel <= tier_bound),
+            "committed_matrix_row": matrix_row,
             "note": ("approximate-leg quality vs the exact path on the SAME "
                      "removal intervention, key, and steps — the day-one "
                      "real-weights run produces this verdict alongside the "

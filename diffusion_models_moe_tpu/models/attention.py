@@ -93,6 +93,48 @@ class _PadHeadProj(nn.Module):
         return y
 
 
+class _RawPadProj(nn.Module):
+    """``nn.Dense(query_dim)``-compatible q/k/v params (same 2D ``kernel``
+    pytree as _PadHeadProj) returned as the lane-padded (C, heads*d_pad)
+    weight — consumed by the absorbed-attention kernel
+    (ops/attn_absorb_fused.py:ln_qkv_fused), which runs the dot itself."""
+    query_dim: int
+    heads: int
+    d_pad: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_dim):
+        d = self.query_dim // self.heads
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.query_dim), jnp.float32)
+        k3 = jnp.pad(kernel.reshape(in_dim, self.heads, d),
+                     ((0, 0), (0, 0), (0, self.d_pad - d))).astype(self.dtype)
+        return k3.reshape(in_dim, self.heads * self.d_pad)
+
+
+class _RawOutProj(nn.Module):
+    """``nn.Dense``-compatible to_out params (same ``kernel``/``bias`` pytree
+    as _DGOutProj) returned as the pad-row (heads*d_pad, C) weight + f32 bias
+    for ops/attn_absorb_fused.py:attn_out_residual_fused."""
+    features: int
+    heads: int
+    d_pad: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        d = self.features // self.heads
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.heads * d, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k3 = jnp.pad(kernel.reshape(self.heads, d, self.features),
+                     ((0, 0), (0, self.d_pad - d), (0, 0)))
+        return (k3.reshape(self.heads * self.d_pad, self.features
+                           ).astype(self.dtype), bias)
+
+
 class _DGOutProj(nn.Module):
     """Output projection consuming the 4D (B, S, heads, d) attention output via
     one `dot_general` contracting (heads, d) — param-compatible with
@@ -149,7 +191,7 @@ class Attention(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, ln=None):
         import os
         is_self = context is None
         context = x if context is None else context
@@ -159,6 +201,52 @@ class Attention(nn.Module):
                                                         round_up_lanes,
                                                         use_flash)
         d_pad = round_up_lanes(head_dim)
+        # DMOE_ATTN_ABSORB (VERDICT r4 item 3): with `ln` (the delegated
+        # norm1 params — BasicTransformerBlock keeps the pytree via
+        # _LNParams), the whole  x + to_out(flash(qkv(LN(x))))  sub-block
+        # runs as two Pallas kernels around the unmodified stock flash call:
+        # LN+qkv emitting flash's (B, H, S, d_pad) operand layout directly,
+        # and out-proj+bias+residual consuming it directly — the S-minor
+        # projection layouts and transpose/pad materializations XLA schedules
+        # around the custom-call (ROOFLINE.md §2) never exist. Exact-tier.
+        if ln is not None:
+            from diffusion_models_moe_tpu.ops.attn_absorb_fused import (
+                attn_absorb_ok, attn_out_residual_fused, ln_apply,
+                ln_qkv_fused)
+            g_ln, b_ln, eps_ln = ln
+            interp = os.environ.get("DMOE_ATTN_ABSORB_INTERPRET", "0") == "1"
+            if (is_self and not self.quant and not self.qkv_bias
+                    and os.environ.get("DMOE_FLASH_IMPL", "jax")
+                    in ("jax", "custom-cross")
+                    and use_flash(x.shape[1], context.shape[1], self.flash)
+                    and attn_absorb_ok(x.shape[1], self.query_dim,
+                                       self.heads, d_pad)):
+                from diffusion_models_moe_tpu.ops.flash import flash_bhsd
+                wq = _RawPadProj(self.query_dim, self.heads, d_pad,
+                                 dtype=self.dtype, name="to_q")(x.shape[-1])
+                wk = _RawPadProj(self.query_dim, self.heads, d_pad,
+                                 dtype=self.dtype, name="to_k")(x.shape[-1])
+                wv = _RawPadProj(self.query_dim, self.heads, d_pad,
+                                 dtype=self.dtype, name="to_v")(x.shape[-1])
+                wo, bo = _RawOutProj(self.query_dim, self.heads, d_pad,
+                                     dtype=self.dtype, name="to_out")()
+                q4, k4, v4 = ln_qkv_fused(
+                    x.astype(self.dtype), wq, wk, wv, heads=self.heads,
+                    ln_scale=g_ln, ln_bias=b_ln, eps=eps_ln,
+                    interpret=interp)
+                o = flash_bhsd(q4, k4, v4, 1.0 / (head_dim ** 0.5))
+                return attn_out_residual_fused(
+                    o.astype(self.dtype), wo, bo, x.astype(self.dtype),
+                    interpret=interp)
+            # conditions not met (CPU, short seq, quant, cross impl): apply
+            # the delegated LN here and fall through to the standard paths,
+            # adding the residual at the end — semantics identical to the
+            # un-absorbed block
+            resid = x
+            x = ln_apply(x, g_ln, b_ln, eps_ln).astype(self.dtype)
+            context = x if is_self else context
+        else:
+            resid = None
         # DMOE_PAD_PROJ (default ON since r3): fold the flash head-dim pad
         # into the q/k/v weights (see _PadHeadProj) — only where the stock
         # flash SELF path will run ("custom-cross" diverts only
@@ -188,8 +276,9 @@ class Attention(nn.Module):
                                      kv_valid=context.shape[1],
                                      enabled=self.flash)
             # _DGOutProj handles the padded head dim (zero kernel rows)
-            return _DGOutProj(self.query_dim, dtype=self.dtype,
-                              quant=self.quant, name="to_out")(out)
+            y = _DGOutProj(self.query_dim, dtype=self.dtype,
+                           quant=self.quant, name="to_out")(out)
+            return y if resid is None else resid + y
 
         q = make_dense(self.query_dim, use_bias=self.qkv_bias, dtype=self.dtype,
                        quant=self.quant, name="to_q")(x)
@@ -208,11 +297,13 @@ class Attention(nn.Module):
                                  enabled=self.flash)
         dg_default = "1" if jax.default_backend() == "tpu" else "0"
         if os.environ.get("DMOE_ATTN_DG", dg_default) == "1" and not self.quant:
-            return _DGOutProj(self.query_dim, dtype=self.dtype,
-                              name="to_out")(out)
+            y = _DGOutProj(self.query_dim, dtype=self.dtype,
+                           name="to_out")(out)
+            return y if resid is None else resid + y
         out = out.reshape(x.shape[0], x.shape[1], self.query_dim)
-        return make_dense(self.query_dim, dtype=self.dtype, quant=self.quant,
-                          name="to_out")(out)
+        y = make_dense(self.query_dim, dtype=self.dtype, quant=self.quant,
+                       name="to_out")(out)
+        return y if resid is None else resid + y
 
 
 class _GEGLUProj(nn.Module):
@@ -572,11 +663,25 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
+        import os
         from diffusion_models_moe_tpu.models.layers import maybe_barrier
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype)
-        x = x + Attention(self.dim, self.heads, dtype=self.dtype,
+        if (os.environ.get("DMOE_ATTN_ABSORB", "0") == "1"
+                and not self.quant):
+            # delegate norm1 + the attn1 residual to the absorbed-attention
+            # kernels (ops/attn_absorb_fused.py; _LNParams keeps the param
+            # pytree identical to nn.LayerNorm — same pattern as the FF
+            # absorb below)
+            g1, b1 = _LNParams(name="norm1")(x.shape[-1])
+            x = Attention(self.dim, self.heads, dtype=self.dtype,
                           flash=self.flash_attention, quant=self.quant,
-                          name="attn1")(maybe_barrier(h, "DMOE_LN_BARRIER"))
+                          name="attn1")(x, ln=(g1, b1, 1e-5))
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype,
+                             name="norm1")(x).astype(self.dtype)
+            x = x + Attention(self.dim, self.heads, dtype=self.dtype,
+                              flash=self.flash_attention, quant=self.quant,
+                              name="attn1")(maybe_barrier(h,
+                                                          "DMOE_LN_BARRIER"))
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
                           dtype=self.dtype, flash=self.flash_attention,

@@ -197,7 +197,15 @@ def chain_profitable(h: int, w: int, cin: int, cout: int) -> bool:
     16x16x1280->1280 sites; default "16,32" = all micro winners."""
     if not chain_ok(h, w, cin, cout):
         return False
-    allowed = os.environ.get("DMOE_CHAIN_SHAPES", "16,32").split(",")
+    # strict parse (ADVICE r4): a typo'd bisection leg must not silently
+    # measure the XLA path while labeled as a chain mode
+    raw = os.environ.get("DMOE_CHAIN_SHAPES", "16,32")
+    allowed = [t.strip() for t in raw.split(",") if t.strip()]
+    bad = [t for t in allowed if t not in ("16", "32")]
+    if bad:
+        raise ValueError(
+            f"DMOE_CHAIN_SHAPES={raw!r}: unknown tokens {bad} "
+            "(valid: '16', '32')")
     if h == 16 and w == 16 and "16" in allowed:
         return cin == 1280 and cout == 1280
     if h == 32 and w == 32 and "32" in allowed:

@@ -124,6 +124,24 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.transpose(0, 2, 1, 3)[..., :d]
 
 
+def flash_bhsd(qb: jax.Array, kb: jax.Array, vb: jax.Array,
+               sm_scale: float) -> jax.Array:
+    """Stock flash on operands ALREADY in the kernel's (B, H, S, d_pad)
+    layout — the absorbed-attention path (ops/attn_absorb_fused.py) produces
+    q/k/v directly in this layout so no transpose/pad materializes at the
+    boundary. Returns (B, H, S, d_pad). Off-TPU falls back to XLA SDPA with
+    the same layout contract (tests / CPU smoke)."""
+    s = qb.shape[2]
+    if jax.default_backend() != "tpu":
+        out = jax.nn.dot_product_attention(
+            qb.transpose(0, 2, 1, 3), kb.transpose(0, 2, 1, 3),
+            vb.transpose(0, 2, 1, 3), scale=sm_scale)
+        return out.transpose(0, 2, 1, 3)
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+    return flash_attention(qb, kb, vb, causal=False, sm_scale=sm_scale,
+                           block_sizes=_block_sizes(s, s))
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "kv_valid"))
 def flash_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           sm_scale: float, kv_valid: int) -> jax.Array:

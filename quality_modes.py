@@ -22,13 +22,20 @@ so rows quantify NUMERICAL perturbation of the real-geometry program, not
 semantic quality; rerun with real params the day a snapshot exists (the same
 flags `cli parity-run` takes).
 
-Writes quality_modes.json (with commit/timestamp/knob provenance, partial
-results surviving kills) and prints a markdown table. Heavy TPU job: takes
-the same host-wide lock as bench.py. Usage:
+Built for the axon tunnel's failure modes (VERDICT r4 item 1: "drive it as N
+short single-mode runs"): the plain-reference latents/images/features are
+cached on disk after the first run (`.quality_cache/`), every invocation
+MERGES its rows into the existing quality_modes.json (per-row commit/ts
+provenance, partial results surviving kills), and the calibration rows
+(plain_rerun / decorrelated / fp32_reference) are themselves requestable row
+names so a killed run resumes wherever it died. Heavy TPU job: takes the
+same host-wide lock as bench.py. Usage:
 
-  python quality_modes.py                 # all modes, SD1.5 geometry
-  python quality_modes.py int8 dc2        # subset
+  python quality_modes.py                 # all modes + calibration
+  python quality_modes.py fff_pad dc3_pad # subset, merged into existing json
+  python quality_modes.py --calib         # just the three calibration rows
   python quality_modes.py --tiny          # tiny-config CPU smoke (tests)
+  python quality_modes.py --fresh-ref ... # ignore + rebuild the ref cache
 """
 from __future__ import annotations
 
@@ -73,10 +80,23 @@ MODES: dict[str, dict[str, str]] = {
                       "DMOE_PAD_PROJ": "1"},
     "dc3_chain_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_CONV_CHAIN": "1",
                           "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    # chain16 bisection legs (bench_modes.py: DMOE_CHAIN_SHAPES=16)
+    "chain16_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_CHAIN_SHAPES": "16",
+                    "DMOE_PAD_PROJ": "1"},
+    "chain16_fff_pad": {"DMOE_CONV_CHAIN": "1", "DMOE_CHAIN_SHAPES": "16",
+                        "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    # absorbed-attention kernel legs (ops/attn_absorb_fused.py; exact-tier)
+    "attnabs_pad": {"DMOE_ATTN_ABSORB": "1", "DMOE_PAD_PROJ": "1"},
+    "attnabs_fff_pad": {"DMOE_ATTN_ABSORB": "1", "DMOE_FF_FUSED": "1",
+                        "DMOE_PAD_PROJ": "1"},
+    "dc3_attnabs_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_ATTN_ABSORB": "1",
+                            "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
 }
+CALIB = ("plain_rerun", "decorrelated", "fp32_reference")
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE", "DMOE_FF_FUSED",
-         "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN", "DMOE_CHAIN_SHAPES")
+         "DMOE_FF_ABSORB", "DMOE_CONV_CHAIN", "DMOE_CHAIN_SHAPES",
+         "DMOE_ATTN_ABSORB")
 
 
 def _set_knobs(extra: dict[str, str]) -> None:
@@ -85,21 +105,39 @@ def _set_knobs(extra: dict[str, str]) -> None:
     os.environ.update(extra)
 
 
+# Signatures of the axon tunnel's TRANSIENT failures (broken pipe / HTTP 5xx
+# mid-compile, observed 2026-08-21 — VERDICT_RESPONSE r4 item 2). A
+# deterministic per-mode bug (shape/config error) must NOT burn 3 x ~15-min
+# on-chip retries (ADVICE r4): anything that doesn't look transient raises
+# immediately.
+_TRANSIENT_SIGS = ("broken pipe", "os error 32", "unavailable", "deadline",
+                   "connection", "socket", "eof", "http", "500", "502",
+                   "503", "tunnel", "timed out", "timeout")
+
+
+def _is_transient(e: Exception) -> bool:
+    if isinstance(e, (OSError, ConnectionError)):
+        return True
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(s in msg for s in _TRANSIENT_SIGS)
+
+
 def _with_retry(fn, what: str, tries: int = 3, pause: float = 45.0):
-    """Bounded retry for transient axon-tunnel failures (broken pipe /
-    HTTP 500 mid-compile — observed 2026-08-21 killing a 30-min quality run
-    at the REFERENCE featurize, before any row flushed). A failed compile is
-    not cached, so re-calling re-triggers it cleanly."""
+    """Bounded retry for transient axon-tunnel failures only. A failed
+    compile is not cached, so re-calling re-triggers it cleanly; a
+    deterministic failure raises on first sight."""
     import time as _t
+    last_msg = None
     for i in range(tries):
         try:
             return fn()
         except Exception as e:
-            if i == tries - 1:
+            msg = f"{type(e).__name__}: {e}"
+            if i == tries - 1 or not _is_transient(e) or msg == last_msg:
                 raise
-            print(f"# {what}: {type(e).__name__}: {e} — retry "
-                  f"{i + 1}/{tries - 1} in {pause:.0f}s",
-                  file=sys.stderr, flush=True)
+            last_msg = msg
+            print(f"# {what}: {msg} — retry {i + 1}/{tries - 1} in "
+                  f"{pause:.0f}s", file=sys.stderr, flush=True)
             _t.sleep(pause)
 
 
@@ -165,13 +203,18 @@ def _metrics(lat, img, feat, ref) -> dict:
 
 def main(argv: list[str]) -> int:
     tiny = "--tiny" in argv
+    calib_only = "--calib" in argv
+    fresh_ref = "--fresh-ref" in argv
     names = [a for a in argv if not a.startswith("-")]
-    unknown = [n for n in names if n not in MODES]
+    unknown = [n for n in names if n not in MODES and n not in CALIB]
     if unknown:
-        print(f"unknown modes {unknown}; known: {list(MODES)}",
+        print(f"unknown modes {unknown}; known: {list(MODES) + list(CALIB)}",
               file=sys.stderr)
         return 2
-    names = names or list(MODES)
+    if calib_only:
+        names = [n for n in names if n in CALIB] or list(CALIB)
+    elif not names:
+        names = list(CALIB) + list(MODES)
     out_path = os.environ.get(
         "DMOE_QUALITY_OUT", "quality_modes_tiny.json" if tiny
         else "quality_modes.json")
@@ -232,6 +275,7 @@ def main(argv: list[str]) -> int:
     def feats(img):
         return np.asarray(jax.device_get(featurize(img)), np.float32)
 
+    # ----- merge-by-default: load whatever rows already exist -------------
     report: dict = {
         "workload": ("tiny CPU smoke" if tiny else
                      "SD1.5 geometry bf16, batch 8, 50 steps, MoE topk 0.3"),
@@ -240,78 +284,105 @@ def main(argv: list[str]) -> int:
         "commit": _git_rev(),
         "modes": {},
     }
+    if not tiny:
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            report["modes"] = prior.get("modes", {})
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
 
     def flush():
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
 
-    t0 = time.perf_counter()
-    rl, ri = _with_retry(
-        lambda: _run(pipe, params, cond, uncond, key, steps, ivs),
-        "plain reference")
-    rf = _with_retry(lambda: feats(ri), "reference featurize")
-    ref = (rl, ri, rf)
-    print(f"# plain (reference) {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-
-    # exactness sanity: plain re-run, same key -> bit-identical
-    rl2, ri2 = _with_retry(
-        lambda: _run(_build({}, tiny), params, cond, uncond, key, steps, ivs),
-        "plain_rerun")
-    report["modes"]["plain_rerun"] = dict(
-        _metrics(rl2, ri2, feats(ri2), ref), exact=True,
-        note="same key, fresh pipeline instance: determinism check")
-    flush()
-    # calibration floor: plain under a different key = unrelated image
-    dl, di = _with_retry(
-        lambda: _run(pipe, params, cond, uncond, jax.random.PRNGKey(4), steps,
-                     ivs),
-        "decorrelated")
-    report["modes"]["decorrelated"] = dict(
-        _metrics(dl, di, feats(di), ref), exact=False,
-        note="plain bf16, DIFFERENT key: the 'completely different image' "
-             "floor every approximate mode must stay far from")
-    flush()
-    # dtype-rounding floor: the SAME weights and key at fp32 compute. Any
-    # mode whose delta vs plain-bf16 is within ~this is exact-tier — it
-    # perturbs no more than the bf16 arithmetic the headline already uses
-    # (the flash kernel is accepted as exact on the same argument).
-    if not tiny:   # tiny config is already fp32; the row would be zero
-        try:
-            from diffusion_models_moe_tpu import sd15_config as _sd15
-            _set_knobs({})
-            from diffusion_models_moe_tpu import StableDiffusionPipeline
-            cfg32 = _sd15(dtype=jnp.float32)
-            pipe32 = StableDiffusionPipeline(cfg32)
-            params32 = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.float32) if hasattr(x, "astype") else x,
-                params)
-            fl, fi = _with_retry(
-                lambda: _run(pipe32, params32, cond, uncond, key, steps, ivs),
-                "fp32_reference")
-            report["modes"]["fp32_reference"] = dict(
-                _metrics(fl, fi, feats(fi), ref), exact=True,
-                note="same weights/key at fp32 compute: the bf16 rounding "
-                     "floor — deltas at this scale are dtype noise")
-        except Exception as e:
-            report["modes"]["fp32_reference"] = {
-                "error": f"{type(e).__name__}: {e}"}
+    def record(name: str, m: dict, wall: float) -> None:
+        m["wall_s"] = round(wall, 1)
+        m["commit"] = report["commit"]
+        m["ts_unix"] = int(time.time())
+        report["modes"][name] = m
+        print(f"# {name}: {m}", file=sys.stderr, flush=True)
         flush()
+
+    # ----- plain reference: disk cache so single-mode runs skip it --------
+    ref_cache = os.path.join(
+        ".quality_cache", f"ref_full_b{batch}_s{steps}_e{esz}.npz")
+    ref = None
+    # tiny mode always recomputes (seconds on CPU; a stale cached reference
+    # would silently mask model changes in the CI smoke)
+    if not tiny and not fresh_ref and os.path.exists(ref_cache):
+        z = np.load(ref_cache)
+        ref = (z["lat"], z["img"], z["feat"])
+        print(f"# plain reference: cached ({ref_cache}, commit "
+              f"{z['commit'] if 'commit' in z else '?'})",
+              file=sys.stderr, flush=True)
+    if ref is None:
+        t0 = time.perf_counter()
+        rl, ri = _with_retry(
+            lambda: _run(pipe, params, cond, uncond, key, steps, ivs),
+            "plain reference")
+        rf = _with_retry(lambda: feats(ri), "reference featurize")
+        ref = (rl, ri, rf)
+        if not tiny:
+            os.makedirs(os.path.dirname(ref_cache), exist_ok=True)
+            np.savez(ref_cache, lat=rl, img=ri, feat=rf,
+                     commit=np.asarray(report["commit"]))
+        print(f"# plain (reference) {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
 
     for name in names:
         t0 = time.perf_counter()
         try:
-            def one(name=name):
-                p = _build(MODES[name], tiny)
-                lat, img = _run(p, params, cond, uncond, key, steps, ivs)
-                return _metrics(lat, img, feats(img), ref)
+            if name == "plain_rerun":
+                # exactness sanity: plain re-run, same key -> bit-identical
+                def one():
+                    rl2, ri2 = _run(_build({}, tiny), params, cond, uncond,
+                                    key, steps, ivs)
+                    return dict(
+                        _metrics(rl2, ri2, feats(ri2), ref), exact=True,
+                        note="same key, fresh pipeline instance: "
+                             "determinism check")
+            elif name == "decorrelated":
+                # calibration floor: plain under a different key
+                def one():
+                    dl, di = _run(pipe, params, cond, uncond,
+                                  jax.random.PRNGKey(4), steps, ivs)
+                    return dict(
+                        _metrics(dl, di, feats(di), ref), exact=False,
+                        note="plain bf16, DIFFERENT key: the 'completely "
+                             "different image' floor every approximate mode "
+                             "must stay far from")
+            elif name == "fp32_reference":
+                if tiny:   # tiny config is already fp32; the row would be 0
+                    continue
+                # dtype-rounding floor: SAME weights and key at fp32 compute.
+                # Any mode within ~this is exact-tier — it perturbs no more
+                # than the bf16 arithmetic the headline already uses.
+                def one():
+                    from diffusion_models_moe_tpu import (
+                        StableDiffusionPipeline, sd15_config)
+                    _set_knobs({})
+                    pipe32 = StableDiffusionPipeline(
+                        sd15_config(dtype=jnp.float32))
+                    params32 = jax.tree_util.tree_map(
+                        lambda x: (x.astype(jnp.float32)
+                                   if hasattr(x, "astype") else x), params)
+                    fl, fi = _run(pipe32, params32, cond, uncond, key, steps,
+                                  ivs)
+                    return dict(
+                        _metrics(fl, fi, feats(fi), ref), exact=True,
+                        note="same weights/key at fp32 compute: the bf16 "
+                             "rounding floor — deltas at this scale are "
+                             "dtype noise")
+            else:
+                def one(name=name):
+                    p = _build(MODES[name], tiny)
+                    lat, img = _run(p, params, cond, uncond, key, steps, ivs)
+                    return _metrics(lat, img, feats(img), ref)
             m = _with_retry(one, name)
         except Exception as e:  # record and continue: partial matrix > none
             m = {"error": f"{type(e).__name__}: {e}"}
-        m["wall_s"] = round(time.perf_counter() - t0, 1)
-        report["modes"][name] = m
-        print(f"# {name}: {m}", file=sys.stderr, flush=True)
-        flush()
+        record(name, m, time.perf_counter() - t0)
     _set_knobs({})
 
     print("| mode | latent_rel_err | image PSNR (dB) | clip_cos |")

@@ -11,10 +11,15 @@ the tiny CPU smoke supplied the rows), and each row flags a quality value
 whose source commit differs from the bench leg's (VERDICT r3 #8).
 
   python serving_modes_report.py > SERVING_MODES.md
+  python serving_modes_report.py --check   # health check (VERDICT r4 item 6):
+      exit 1 if any advertised leg has an empty quality cell or a quality row
+      whose source commit mismatches its bench evidence — the matrix cannot
+      silently regress to the r3 empty-cells state.
 """
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 
 EXACT = {"plain", "plain16", "pad_proj", "pad16", "int8_pad"}
@@ -41,11 +46,81 @@ TIER = {
     "chain16_fff_pad": "exact-tier (rounding-scale)",
     "dc3_chain_pad": "approx (DeepCache)",
     "dc3_chain_fff_pad": "approx (DeepCache)",
+    "attnabs_pad": "exact-tier (rounding-scale)",
+    "attnabs_fff_pad": "exact-tier (rounding-scale)",
+    "dc3_attnabs_fff_pad": "approx (DeepCache)",
 }
 PEAK_BF16 = 197e12   # v5e
+# batch-16 throughput legs (bench_modes.py MODE_ARGS) — MFU math below
+# assumes the batch-8 step; an explicit set, not a substring match, so the
+# batch-8 chain16_* bisection legs keep their MFU cells (ADVICE r4)
+BATCH16 = {"plain16", "pad16"}
+
+# ---- evidence-staleness model (VERDICT r4 items 5/6) -----------------------
+# A leg's bench row and quality row were usually captured at different
+# commits. Raw commit inequality over-flags: a docs-only commit would mark
+# every row stale forever. The truthful criterion is whether a file on THAT
+# LEG'S EXECUTED PATH changed between the two captures — computed here from
+# `git diff --name-only` between the recorded commits. Workload identity
+# (batch/steps/seeds) is protected separately by the recorded workload
+# strings inside the artifacts, so harness-infra edits to bench.py /
+# quality_modes.py do not flag rows.
+_PKG = "diffusion_models_moe_tpu/"
+# files/dirs every SD1.5 serving leg executes (pipeline, UNet/VAE/text
+# towers, schedulers, flash attention, MoE routing)
+BASE_PATHS = (
+    _PKG + "__init__.py", _PKG + "config.py", _PKG + "taps.py",
+    _PKG + "models/__init__.py", _PKG + "models/attention.py",
+    _PKG + "models/unet.py", _PKG + "models/vae.py",
+    _PKG + "models/clip_text.py", _PKG + "models/layers.py",
+    _PKG + "pipelines/__init__.py", _PKG + "pipelines/stable_diffusion.py",
+    _PKG + "schedulers/", _PKG + "ops/__init__.py", _PKG + "ops/flash.py",
+    _PKG + "ops/sd_flash.py", _PKG + "ops/routing_kernel.py",
+    _PKG + "moefication/__init__.py", _PKG + "moefication/moefy.py",
+)
+# knob-gated files: only legs whose name carries the knob execute them
+GATED_PATHS = (
+    ("wino", _PKG + "ops/winograd.py"),
+    ("winof", _PKG + "ops/winograd_fused.py"),
+    ("fff", _PKG + "ops/geglu_ff_fused.py"),
+    ("chain", _PKG + "ops/conv_chain_fused.py"),
+    ("int8", _PKG + "ops/quant.py"),
+    ("lcm", _PKG + "pipelines/sdxl.py"),
+    ("attnabs", _PKG + "ops/attn_absorb_fused.py"),
+)
+
+_diff_cache: dict = {}
 
 
-def main() -> int:
+def _changed_paths(c1: str, c2: str):
+    """Package files that differ between two commits; None = unknowable
+    (missing commit) => treat as stale."""
+    if c1 == c2:
+        return []
+    key = (c1, c2)
+    if key not in _diff_cache:
+        try:
+            out = subprocess.run(
+                ["git", "diff", "--name-only", c1, c2, "--", _PKG.rstrip("/")],
+                capture_output=True, text=True, timeout=15, check=True)
+            _diff_cache[key] = out.stdout.split()
+        except Exception:
+            _diff_cache[key] = None
+    return _diff_cache[key]
+
+
+def leg_stale(leg: str, bench_commit: str, qual_commit: str) -> bool:
+    changed = _changed_paths(bench_commit, qual_commit)
+    if changed is None:
+        return True
+    relevant = list(BASE_PATHS) + [p for k, p in GATED_PATHS if k in leg]
+    return any(any(f == p or (p.endswith("/") and f.startswith(p))
+                   for p in relevant) for f in changed)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    check = "--check" in argv
     bench = {r["leg"]: r for r in json.load(open("bench_modes.json"))}
     qual, qmodes, qual_path = {}, {}, None
     # full-geometry quality run preferred; the tiny CPU smoke is the fallback
@@ -60,6 +135,11 @@ def main() -> int:
             continue
     qual_commit = qual.get("commit", "?")
 
+    def row_commit(name: str) -> str:
+        # quality rows carry per-row provenance since r5 (merged single-mode
+        # runs); older files had only the file-level commit
+        return qmodes.get(name, {}).get("commit", qual_commit)
+
     # per-leg MFU against the full-step MXU-padded roofline (roofline.py);
     # only meaningful for legs that execute the full UNet every step —
     # DeepCache legs skip logical work, so their MFU cell shows n/a
@@ -72,7 +152,7 @@ def main() -> int:
     def mfu(leg, res):
         v = res.get("value")
         if (physical is None or not v
-                or "dc" in leg or "lcm" in leg or "16" in leg):
+                or "dc" in leg or "lcm" in leg or leg in BATCH16):
             return "—"
         return f"{physical * 50 * v / 8 / PEAK_BF16 * 100:.1f}%"
 
@@ -83,18 +163,23 @@ def main() -> int:
     QUAL_ALIAS = {"plain": "plain_rerun", "plain16": "plain_rerun",
                   "pad16": "pad_proj"}
 
+    empty_quality: list[str] = []    # legs whose quality cells rendered "—"
+    stale_quality: list[str] = []    # legs whose quality commit != bench's
+
     def q(leg, field):
         m = qmodes.get(QUAL_ALIAS.get(leg, leg), {})
         v = m.get(field)
         return "—" if v is None else v
 
     def qflag(leg, bench_commit):
-        """Mark quality cells whose source commit differs from the leg's
-        bench commit (evidence captured at different tree states); aliased
-        rows (see QUAL_ALIAS) get ‡."""
-        if QUAL_ALIAS.get(leg, leg) not in qmodes:
+        """Mark quality cells whose evidence is STALE relative to the leg's
+        bench evidence: a file on the leg's executed path changed between the
+        two capture commits (leg_stale above — raw commit inequality would
+        over-flag on docs-only churn); aliased rows (see QUAL_ALIAS) get ‡."""
+        qname = QUAL_ALIAS.get(leg, leg)
+        if qname not in qmodes:
             return ""
-        mark = "" if qual_commit == bench_commit else " †"
+        mark = " †" if leg_stale(leg, bench_commit, row_commit(qname)) else ""
         if leg in QUAL_ALIAS:
             mark += " ‡"
         return mark
@@ -124,32 +209,38 @@ def main() -> int:
         ev = res.get("evidence", {})
         flag = qflag(leg, ev.get("commit", "?"))
         any_flag = any_flag or bool(flag)
+        cells = [q(leg, f) for f in ("latent_rel_err", "image_psnr_db",
+                                     "clip_cos")]
+        if any(c == "—" for c in cells):
+            empty_quality.append(leg)
+        if "†" in flag:
+            stale_quality.append(leg)
         lines.append(
             f"| {leg} | {TIER.get(leg, '?')} | {res.get('value', '—')} | "
             f"{res.get('vs_baseline', '—')}x | {mfu(leg, res)} | "
-            f"{q(leg, 'latent_rel_err')}{flag} | "
-            f"{q(leg, 'image_psnr_db')}{flag} | {q(leg, 'clip_cos')}{flag} | "
+            f"{cells[0]}{flag} | {cells[1]}{flag} | {cells[2]}{flag} | "
             f"{ev.get('spread', '—')} | {ev.get('contended', '—')} |")
     if any_flag:
         lines.append("")
-        lines.append(f"† quality row captured at commit `{qual_commit}`, a "
-                     "different tree state than this leg's bench evidence "
-                     "(re-run whichever is stale to reconcile).")
+        lines.append("† a file on this leg's executed path changed between "
+                     "its quality and bench capture commits (per-row commits "
+                     f"inside `{qual_path}`; re-run whichever is stale to "
+                     "reconcile).")
         lines.append("‡ quality row measured under the leg's config at the "
                      "fixed batch-8 quality workload: `plain` is the quality "
                      "reference itself (determinism row `plain_rerun`); "
                      "`plain16`/`pad16` are batch-16 throughput legs of the "
                      "`plain`/`pad_proj` configs.")
-    if qual.get("workload", "").startswith("tiny") and any(
-            "—" in line for line in lines):
+    # footnote gated on ACTUAL empty quality cells, not any em-dash in the
+    # table (MFU "—" cells and header prose also contain one — ADVICE r4)
+    if qual.get("workload", "").startswith("tiny") and empty_quality:
         lines.append("")
         lines.append("Legs with an empty quality cell are the Pallas-kernel "
                      "modes (winof/fff/chain): their kernels dispatch only on "
                      "a TPU backend, so a tiny CPU run would measure the XLA "
                      "fallback and mislabel it as kernel evidence — those "
                      "rows come only from the full-geometry on-chip run "
-                     "(`python quality_modes.py`, pending tunnel health — "
-                     "VERDICT_RESPONSE.md r4 item 2).")
+                     "(`python quality_modes.py`).")
     lines += ["", f"## Calibration rows (`{qual_path}`)", ""]
     for name in ("plain_rerun", "fp32_reference", "decorrelated"):
         m = qmodes.get(name)
@@ -165,15 +256,33 @@ def main() -> int:
         f"- bench legs: commits "
         f"{sorted({(r.get('result') or {}).get('evidence', {}).get('commit', '?') for r in bench.values()})}, "
         "knobs + per-run times inside `bench_modes.json`.",
-        f"- quality run: `{qual_path}`, commit `{qual_commit}`, "
+        f"- quality run: `{qual_path}`, last-writer commit `{qual_commit}`, "
         f"ts {qual.get('ts_unix', '—')}, workload: "
         f"{qual.get('workload', '—')}; CLIP featurizer: "
-        f"{qual.get('clip_featurizer', '—')}.",
+        f"{qual.get('clip_featurizer', '—')}; per-row commit/ts inside the "
+        "file.",
         "",
         "Regenerate with `python serving_modes_report.py > SERVING_MODES.md` "
-        "after re-measuring either artifact.",
+        "after re-measuring either artifact; `--check` fails on empty or "
+        "stale quality cells.",
     ]
     sys.stdout.write("\n".join(lines) + "\n")
+    if check:
+        problems = []
+        if empty_quality:
+            problems.append(f"empty quality cells: {sorted(empty_quality)}")
+        if stale_quality:
+            problems.append("quality/bench commit mismatch: "
+                            f"{sorted(stale_quality)}")
+        if qual.get("workload", "").startswith("tiny"):
+            problems.append(f"quality evidence is the tiny smoke "
+                            f"({qual_path}), not full geometry")
+        if problems:
+            for p in problems:
+                print(f"# CHECK FAILED: {p}", file=sys.stderr)
+            return 1
+        print("# CHECK OK: every advertised leg has a full-geometry quality "
+              "row matching its bench commit", file=sys.stderr)
     return 0
 
 

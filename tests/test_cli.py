@@ -511,12 +511,36 @@ def test_cli_parity_run_dbg(tmp_path, capsys):
     sm = rep["serving_mode"]
     assert sm["mode"] == "dc3_pad" and sm["deep_cache"] == 3
     assert 0.0 < sm["latent_rel_err_vs_exact"] < 1.0
+    # tier assertion (VERDICT r4 item 7): the leg's measured delta must sit
+    # inside its advertised tier bound
+    assert sm["tier_bound"] == 0.5 and sm["tier_ok"] is True
     md = (out / "PARITY_RUN.md").read_text()
     assert "dbg (tiny random-init" in md and "parity_ok=True" in md
     assert "dc3_pad" in md
     assert rep["commit"]    # provenance present
     # scores computed (dbg featurizer — values not meaningful, but finite)
     assert np.isfinite(rep["scores"]["clip_fid_base_vs_removed"])
+
+
+def test_cli_parity_run_attnabs_mode(tmp_path, capsys):
+    """parity-run --mode attnabs_pad (VERDICT r4 item 7: the acceptance flow
+    must cover promoted kernel legs). On CPU the absorb kernel gate is
+    closed, so the delegated-LN fallback path runs — it must stay inside the
+    exact-tier bound (it reproduces the plain block up to LN op-order)."""
+    import json as _json
+
+    from diffusion_models_moe_tpu.cli import main
+
+    out = tmp_path / "parity_abs"
+    main(["parity-run", "--cpu", "--out-dir", str(out),
+          "--concept", "Van Gogh", "--limit", "2", "--steps", "2",
+          "--batch", "2", "--mode", "attnabs_pad"])
+    rep = _json.loads((out / "parity_run.json").read_text())
+    sm = rep["serving_mode"]
+    assert sm["mode"] == "attnabs_pad" and sm["deep_cache"] == 0
+    assert sm["knobs"]["DMOE_ATTN_ABSORB"] == "1"
+    assert sm["latent_rel_err_vs_exact"] < sm["tier_bound"] == 0.02
+    assert sm["tier_ok"] is True
 
 
 def test_cli_create_datasets(tmp_path, capsys):

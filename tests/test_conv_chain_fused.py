@@ -122,6 +122,10 @@ def test_chain_flag_preserves_param_pytree(monkeypatch):
     monkeypatch.setattr(
         C, "conv3x3_chain",
         functools.partial(conv3x3_chain, interpret=True))
+    # test shapes are below the measured-profitable set, so open the
+    # profitability gate too — otherwise both inits take the plain path and
+    # the ChainConv/GNFold pytree compat is never exercised (ADVICE r4)
+    monkeypatch.setattr(C, "chain_profitable", C.chain_ok)
     p1 = blk.init(jax.random.PRNGKey(0), x, temb)["params"]
     assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
     for a, b in zip(jax.tree_util.tree_leaves(p0),
@@ -148,6 +152,38 @@ def test_chain_resblock_matches_plain_resblock(monkeypatch):
     monkeypatch.setattr(
         C, "conv3x3_chain",
         functools.partial(conv3x3_chain, interpret=True))
+    # open the profitability gate so the chain branch actually runs at the
+    # small test shapes (ADVICE r4: the un-patched gate rejects them and the
+    # test silently compared the plain path to itself)
+    monkeypatch.setattr(C, "chain_profitable", C.chain_ok)
     got = np.asarray(blk.apply(params, x, temb), np.float32)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.03, rel
+    # the kernel path genuinely ran: its bf16 output cannot be bit-identical
+    # to the XLA composite (different reduction order)
+    assert not np.array_equal(got, ref)
+
+
+def test_chain_shapes_env_gates_dispatch(monkeypatch):
+    """DMOE_CHAIN_SHAPES bisection gate (bench_modes chain16 legs): '16'
+    keeps only the 16x16x1280->1280 sites; strict parse rejects typos
+    (ADVICE r4: a mis-set leg must not silently measure the XLA path)."""
+    from diffusion_models_moe_tpu.ops.conv_chain_fused import chain_profitable
+    monkeypatch.delenv("DMOE_CHAIN_SHAPES", raising=False)
+    assert chain_profitable(16, 16, 1280, 1280)
+    assert chain_profitable(32, 32, 640, 640)
+    monkeypatch.setenv("DMOE_CHAIN_SHAPES", "16")
+    assert chain_profitable(16, 16, 1280, 1280)
+    assert not chain_profitable(32, 32, 640, 640)
+    monkeypatch.setenv("DMOE_CHAIN_SHAPES", "32")
+    assert not chain_profitable(16, 16, 1280, 1280)
+    assert chain_profitable(32, 32, 960, 640)
+    # whitespace tolerated; unknown tokens raise
+    monkeypatch.setenv("DMOE_CHAIN_SHAPES", " 16, 32 ")
+    assert chain_profitable(32, 32, 640, 640)
+    monkeypatch.setenv("DMOE_CHAIN_SHAPES", "16;32")
+    with pytest.raises(ValueError):
+        chain_profitable(16, 16, 1280, 1280)
+    monkeypatch.setenv("DMOE_CHAIN_SHAPES", "64")
+    with pytest.raises(ValueError):
+        chain_profitable(16, 16, 1280, 1280)

@@ -12,7 +12,8 @@ def test_quality_modes_tiny(tmp_path, capsys, monkeypatch):
 
     out = tmp_path / "q.json"
     monkeypatch.setenv("DMOE_QUALITY_OUT", str(out))
-    rc = quality_modes.main(["--tiny", "dc2", "pad_proj"])
+    rc = quality_modes.main(
+        ["--tiny", "plain_rerun", "decorrelated", "dc2", "pad_proj"])
     assert rc == 0
     rep = json.loads(out.read_text())
     modes = rep["modes"]
