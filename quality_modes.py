@@ -252,28 +252,37 @@ def main(argv: list[str]) -> int:
     key = jax.random.PRNGKey(3)   # bench's first timed-run key
 
     # native-CLIP featurizer (ported when a snapshot exists, else random-init)
+    # — pinned to the HOST CPU backend: it is a metric computation, not part
+    # of the measured program, and keeping it off the chip removes a whole
+    # remote compile + its tunnel exposure per invocation (the 06:38 r5
+    # broken-pipe that cost a 38-min reference compile died exactly here)
     from diffusion_models_moe_tpu.benchmarks.fid import make_clip_featurizer
     from diffusion_models_moe_tpu.models.clip_vision import (
         CLIPVisionConfig, CLIPVisionEncoder, tiny_vision_config)
-    if clip_snap:
-        from diffusion_models_moe_tpu.weights.port_vision import (
-            port_clip_vision)
-        vcfg = CLIPVisionConfig()
-        venc = CLIPVisionEncoder(vcfg)
-        featurize = make_clip_featurizer(venc, port_clip_vision(clip_snap,
-                                                                vcfg))
-        feat_kind = "ported"
-    else:
-        vcfg = tiny_vision_config() if tiny else CLIPVisionConfig()
-        venc = CLIPVisionEncoder(vcfg)
-        vparams = venc.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, vcfg.image_size, vcfg.image_size,
-                                       3)))["params"]
-        featurize = make_clip_featurizer(venc, vparams)
-        feat_kind = "random-init (numerical-perturbation proxy)"
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        if clip_snap:
+            from diffusion_models_moe_tpu.weights.port_vision import (
+                port_clip_vision)
+            vcfg = CLIPVisionConfig()
+            venc = CLIPVisionEncoder(vcfg)
+            featurize = make_clip_featurizer(
+                venc, port_clip_vision(clip_snap, vcfg))
+            feat_kind = "ported"
+        else:
+            vcfg = tiny_vision_config() if tiny else CLIPVisionConfig()
+            venc = CLIPVisionEncoder(vcfg)
+            vparams = venc.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, vcfg.image_size,
+                                           vcfg.image_size, 3)))["params"]
+            featurize = make_clip_featurizer(venc, vparams)
+            feat_kind = "random-init (numerical-perturbation proxy)"
 
     def feats(img):
-        return np.asarray(jax.device_get(featurize(img)), np.float32)
+        with jax.default_device(cpu0):
+            return np.asarray(jax.device_get(
+                featurize(jax.device_put(jnp.asarray(img), cpu0))),
+                np.float32)
 
     # ----- merge-by-default: load whatever rows already exist -------------
     report: dict = {
