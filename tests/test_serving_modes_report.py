@@ -55,11 +55,25 @@ def test_check_fails_on_empty_quality_cell(report, tmp_path, capsys):
     assert "empty quality cells" in capsys.readouterr().err
 
 
-def test_check_fails_on_stale_relevant_path(report, tmp_path, monkeypatch,
-                                            capsys):
-    # commits differ AND a file on the leg's executed path changed between
-    # them -> stale; the leg-irrelevant change must NOT flag (docs-only /
-    # other-kernel churn is the noise the per-leg model exists to kill)
+def test_check_fails_on_stale_headline_leg(report, tmp_path, monkeypatch,
+                                           capsys):
+    # commits differ AND a file on the headline leg's executed path changed
+    # between them -> hard fail; the leg-irrelevant change must NOT flag
+    # (docs-only / other-kernel churn is the noise the per-leg model kills)
+    _write(tmp_path, [_bench_leg("fff_pad", "old0001"),
+                      _bench_leg("chain_pad", "old0001")],
+           _qual({"fff_pad": _qrow("new0002"),
+                  "chain_pad": _qrow("new0002")}))
+    monkeypatch.setattr(
+        report, "_changed_paths",
+        lambda c1, c2: ["diffusion_models_moe_tpu/ops/geglu_ff_fused.py"])
+    assert report.main(["--check"]) == 1
+    err = capsys.readouterr().err
+    assert "fff_pad" in err.split("headline")[1]
+
+
+def test_check_warns_on_stale_nonheadline_leg(report, tmp_path, monkeypatch,
+                                              capsys):
     _write(tmp_path, [_bench_leg("plain", "old0001"),
                       _bench_leg("chain_pad", "old0001")],
            _qual({"plain_rerun": _qrow("new0002"),
@@ -67,9 +81,9 @@ def test_check_fails_on_stale_relevant_path(report, tmp_path, monkeypatch,
     monkeypatch.setattr(
         report, "_changed_paths",
         lambda c1, c2: ["diffusion_models_moe_tpu/ops/conv_chain_fused.py"])
-    assert report.main(["--check"]) == 1
+    assert report.main(["--check"]) == 0   # warn, not gate
     err = capsys.readouterr().err
-    assert "chain_pad" in err and "plain" not in err.split("mismatch")[1]
+    assert "CHECK WARN" in err and "chain_pad" in err
 
 
 def test_check_ok_when_changed_paths_irrelevant(report, tmp_path,
