@@ -110,6 +110,11 @@ MODES: dict[str, dict[str, str]] = {
     "lcm_sdxl_serve": {"DMOE_BENCH_MODE": "lcm-sdxl", "DMOE_QUANT": "1",
                        "DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
 }
+# bench.py defaults DMOE_FF_FUSED=1 since r5 (the promoted headline config),
+# so every leg now pins it explicitly — a leg without "fff" in its name
+# measures the un-fused FF its committed evidence was captured under.
+for _env in MODES.values():
+    _env.setdefault("DMOE_FF_FUSED", "0")
 
 # extra argv per leg (bench.py takes [batch [steps]]); legs not listed run
 # the bench defaults

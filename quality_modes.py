@@ -92,6 +92,12 @@ MODES: dict[str, dict[str, str]] = {
     "dc3_attnabs_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_ATTN_ABSORB": "1",
                             "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
 }
+# bench.py defaults DMOE_FF_FUSED=1 since r5; every quality mode pins the
+# knob so a row measures exactly the config its bench twin measured
+# (_set_knobs resets unpinned knobs to the LIBRARY default, which is off —
+# pinned here anyway so the invariant is explicit).
+for _env in MODES.values():
+    _env.setdefault("DMOE_FF_FUSED", "0")
 CALIB = ("plain_rerun", "decorrelated", "fp32_reference")
 KNOBS = ("DMOE_QUANT", "DMOE_WINOGRAD", "DMOE_WINO_TILE", "DMOE_WINO_FUSED",
          "DMOE_PAD_PROJ", "DMOE_DEEP_CACHE", "DMOE_FF_FUSED",
