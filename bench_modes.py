@@ -77,6 +77,12 @@ MODES: dict[str, dict[str, str]] = {
                         "DMOE_PAD_PROJ": "1"},
     "dc3_attnabs_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_ATTN_ABSORB": "1",
                             "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    # absorb bisection (r5 profile: full absorb adds 550ms/gen of kernel
+    # time vs ~541ms removed boundary work — which half loses?)
+    "attnabs_qkv_fff_pad": {"DMOE_ATTN_ABSORB": "qkv", "DMOE_FF_FUSED": "1",
+                            "DMOE_PAD_PROJ": "1"},
+    "attnabs_out_fff_pad": {"DMOE_ATTN_ABSORB": "out", "DMOE_FF_FUSED": "1",
+                            "DMOE_PAD_PROJ": "1"},
     "wino2": {"DMOE_WINOGRAD": "1", "DMOE_PAD_PROJ": "0"},
     "wino4": {"DMOE_WINOGRAD": "1", "DMOE_WINO_TILE": "4",
               "DMOE_PAD_PROJ": "0"},

@@ -211,8 +211,7 @@ class Attention(nn.Module):
         # around the custom-call (ROOFLINE.md §2) never exist. Exact-tier.
         if ln is not None:
             from diffusion_models_moe_tpu.ops.attn_absorb_fused import (
-                attn_absorb_ok, attn_out_residual_fused, ln_apply,
-                ln_qkv_fused)
+                absorbed_self_attention, attn_absorb_ok, ln_apply)
             g_ln, b_ln, eps_ln = ln
             interp = os.environ.get("DMOE_ATTN_ABSORB_INTERPRET", "0") == "1"
             if (is_self and not self.quant and not self.qkv_bias
@@ -221,7 +220,6 @@ class Attention(nn.Module):
                     and use_flash(x.shape[1], context.shape[1], self.flash)
                     and attn_absorb_ok(x.shape[1], self.query_dim,
                                        self.heads, d_pad)):
-                from diffusion_models_moe_tpu.ops.flash import flash_bhsd
                 wq = _RawPadProj(self.query_dim, self.heads, d_pad,
                                  dtype=self.dtype, name="to_q")(x.shape[-1])
                 wk = _RawPadProj(self.query_dim, self.heads, d_pad,
@@ -230,13 +228,9 @@ class Attention(nn.Module):
                                  dtype=self.dtype, name="to_v")(x.shape[-1])
                 wo, bo = _RawOutProj(self.query_dim, self.heads, d_pad,
                                      dtype=self.dtype, name="to_out")()
-                q4, k4, v4 = ln_qkv_fused(
-                    x.astype(self.dtype), wq, wk, wv, heads=self.heads,
-                    ln_scale=g_ln, ln_bias=b_ln, eps=eps_ln,
-                    interpret=interp)
-                o = flash_bhsd(q4, k4, v4, 1.0 / (head_dim ** 0.5))
-                return attn_out_residual_fused(
-                    o.astype(self.dtype), wo, bo, x.astype(self.dtype),
+                return absorbed_self_attention(
+                    x, wq, wk, wv, wo, bo, self.heads,
+                    1.0 / (head_dim ** 0.5), (g_ln, b_ln, eps_ln),
                     interpret=interp)
             # conditions not met (CPU, short seq, quant, cross impl): apply
             # the delegated LN here and fall through to the standard paths,
@@ -665,7 +659,7 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x, context, *, step_idx=None, tap=None, iv=None):
         import os
         from diffusion_models_moe_tpu.models.layers import maybe_barrier
-        if (os.environ.get("DMOE_ATTN_ABSORB", "0") == "1"
+        if (os.environ.get("DMOE_ATTN_ABSORB", "0") not in ("0", "")
                 and not self.quant):
             # delegate norm1 + the attn1 residual to the absorbed-attention
             # kernels (ops/attn_absorb_fused.py; _LNParams keeps the param

@@ -176,6 +176,55 @@ def _out_kernel(o_ref, w_ref, b_ref, r_ref, y_ref, *, heads: int,
     y_ref[0] = r_ref[0] + y                          # residual, model order
 
 
+def absorbed_self_attention(x: jax.Array, wq: jax.Array, wk: jax.Array,
+                            wv: jax.Array, wo: jax.Array, bo: jax.Array,
+                            heads: int, sm_scale: float,
+                            ln: tuple, interpret: bool = False) -> jax.Array:
+    """The absorbed self-attention sub-block — returns
+    ``x + to_out(flash(qkv(LN(x))))``. Dispatch on DMOE_ATTN_ABSORB
+    (models/attention.py wires '!= 0'; the mode split lives HERE so kernel
+    iterations touch only this leg-gated file):
+
+      1     both kernels (prologue + epilogue)
+      qkv   ln_qkv_fused prologue only; XLA out-proj epilogue (the
+            _DGOutProj math on flash's transposed-back output)
+      out   XLA LN + projection dots + transpose prologue;
+            attn_out_residual_fused epilogue only
+
+    The qkv/out legs bisect the r5 profile finding: the full absorb adds
+    550 ms/gen of kernel time against ~541 ms of removed XLA boundary work
+    (convolution_bitcast_fusion 382 + LN convert_reduce 159) — which half
+    carries the loss? wq/wk/wv (C, heads*d_pad) pad-folded; wo
+    (heads*d_pad, C) pad rows; bo (C,) f32."""
+    import os
+
+    from diffusion_models_moe_tpu.ops.flash import flash_bhsd
+    mode = os.environ.get("DMOE_ATTN_ABSORB", "0")
+    g, b, eps = ln
+    bsz, s, c = x.shape
+    d_pad = wq.shape[1] // heads
+    xd = x.astype(wq.dtype)
+    if mode in ("1", "qkv"):
+        q, k, v = ln_qkv_fused(xd, wq, wk, wv, heads=heads, ln_scale=g,
+                               ln_bias=b, eps=eps, interpret=interpret)
+    else:
+        xn = ln_apply(xd, g, b, eps).astype(wq.dtype)
+
+        def proj(w):
+            return (xn @ w).reshape(bsz, s, heads,
+                                    d_pad).transpose(0, 2, 1, 3)
+        q, k, v = proj(wq), proj(wk), proj(wv)
+    o = flash_bhsd(q, k, v, sm_scale)
+    if mode in ("1", "out"):
+        return attn_out_residual_fused(o.astype(wq.dtype), wo, bo, xd,
+                                       interpret=interpret)
+    # XLA epilogue: the pad_proj path's _DGOutProj math + residual add
+    o4 = o.transpose(0, 2, 1, 3).astype(wq.dtype)      # (B, S, H, d_pad)
+    w3 = wo.reshape(heads, d_pad, c)
+    y = jax.lax.dot_general(o4, w3, (((2, 3), (0, 1)), ((), ())))
+    return xd + (y + bo.astype(wq.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def attn_out_residual_fused(o: jax.Array, w: jax.Array, bias: jax.Array,
                             residual: jax.Array,

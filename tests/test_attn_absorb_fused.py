@@ -102,15 +102,17 @@ def _mk_block(dtype):
     return blk, x, ctx
 
 
-def test_attn_absorb_block_matches_plain(monkeypatch):
-    """DMOE_ATTN_ABSORB=1 wired through BasicTransformerBlock (kernel in
-    interpret mode, flash gate forced open) must match the plain block on the
-    same params at f32, and preserve the param pytree."""
+@pytest.mark.parametrize("mode", ["1", "qkv", "out"])
+def test_attn_absorb_block_matches_plain(monkeypatch, mode):
+    """DMOE_ATTN_ABSORB (full/qkv-only/out-only bisection modes) wired
+    through BasicTransformerBlock (kernels in interpret mode, flash gate
+    forced open) must match the plain block on the same params at f32, and
+    preserve the param pytree."""
     import diffusion_models_moe_tpu.ops.flash as F
     blk, x, ctx = _mk_block(jnp.float32)
     params = blk.init(jax.random.PRNGKey(0), x, ctx)
     ref = np.asarray(blk.apply(params, x, ctx), np.float32)
-    monkeypatch.setenv("DMOE_ATTN_ABSORB", "1")
+    monkeypatch.setenv("DMOE_ATTN_ABSORB", mode)
     monkeypatch.setenv("DMOE_ATTN_ABSORB_INTERPRET", "1")
     monkeypatch.setattr(F, "use_flash", lambda q, kv, e: bool(e))
     p2 = blk.init(jax.random.PRNGKey(0), x, ctx)
