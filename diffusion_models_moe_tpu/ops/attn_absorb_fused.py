@@ -85,22 +85,22 @@ def _ln(xd, g_ref, b_ref, eps: float):
     return ((xr - mu) * mul + b_ref[0]).astype(xd.dtype)
 
 
-def _qkv_kernel(x_ref, wq_ref, wk_ref, wv_ref, g_ref, b_ref,
+def _qkv_kernel(x_ref, w_ref, g_ref, b_ref,
                 q_ref, k_ref, v_ref, *, heads: int, d_pad: int, eps: float,
                 has_ln: bool):
     xd = x_ref[0]                                    # (nb, C) model dtype
     if has_ln:
         xd = _ln(xd, g_ref, b_ref, eps)
-
-    def dot(a, b):
-        y = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return y.astype(a.dtype)
-
-    for w_ref, o_ref in ((wq_ref, q_ref), (wk_ref, k_ref), (wv_ref, v_ref)):
-        y = dot(xd, w_ref[...])                      # (nb, heads*d_pad)
+    # ONE (nb, C) @ (C, 3*heads*d_pad) MXU call (wq|wk|wv concatenated by
+    # the wrapper): longer N pipelines better than three separate dots,
+    # identical per-column math (f32 accumulation per output column)
+    y = jax.lax.dot_general(xd, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(xd.dtype)
+    for t, o_ref in enumerate((q_ref, k_ref, v_ref)):
+        base = t * heads * d_pad
         for h in range(heads):                       # lane-aligned slices
-            o_ref[0, h] = y[:, h * d_pad:(h + 1) * d_pad]
+            o_ref[0, h] = y[:, base + h * d_pad:base + (h + 1) * d_pad]
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
@@ -119,15 +119,15 @@ def ln_qkv_fused(x: jax.Array, wq: jax.Array, wk: jax.Array, wv: jax.Array,
     nb = _rows_per_block(s, c)
     has_ln = ln_scale is not None
     assert (ln_scale is None) == (ln_bias is None)
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)     # (C, 3*heads*d_pad);
+    # loop-invariant, so XLA hoists the concat out of the denoise scan
     const = lambda b_, i: (0, 0)                     # noqa: E731
     in_specs = [
         pl.BlockSpec((1, nb, c), lambda b_, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(wq.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec(wk.shape, const, memory_space=pltpu.VMEM),
-        pl.BlockSpec(wv.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wqkv.shape, const, memory_space=pltpu.VMEM),
     ]
-    args = [x, wq, wk, wv]
+    args = [x, wqkv]
     if has_ln:
         for a in (ln_scale, ln_bias):
             a2 = a.astype(jnp.float32).reshape(1, -1)
@@ -152,14 +152,14 @@ def ln_qkv_fused(x: jax.Array, wq: jax.Array, wk: jax.Array, wv: jax.Array,
     )(*args)
 
 
-def _qkv_dispatch(x_ref, wq_ref, wk_ref, wv_ref, *rest, heads: int,
+def _qkv_dispatch(x_ref, w_ref, *rest, heads: int,
                   d_pad: int, eps: float, has_ln: bool):
     """Unpack optional LN refs (pallas passes refs positionally)."""
     rest = list(rest)
     g_ref = rest.pop(0) if has_ln else None
     b_ref = rest.pop(0) if has_ln else None
     q_ref, k_ref, v_ref = rest
-    _qkv_kernel(x_ref, wq_ref, wk_ref, wv_ref, g_ref, b_ref,
+    _qkv_kernel(x_ref, w_ref, g_ref, b_ref,
                 q_ref, k_ref, v_ref, heads=heads, d_pad=d_pad, eps=eps,
                 has_ln=has_ln)
 
