@@ -91,6 +91,10 @@ MODES: dict[str, dict[str, str]] = {
                         "DMOE_PAD_PROJ": "1"},
     "dc3_attnabs_fff_pad": {"DMOE_DEEP_CACHE": "3", "DMOE_ATTN_ABSORB": "1",
                             "DMOE_FF_FUSED": "1", "DMOE_PAD_PROJ": "1"},
+    "attnabs_qkv_fff_pad": {"DMOE_ATTN_ABSORB": "qkv", "DMOE_FF_FUSED": "1",
+                            "DMOE_PAD_PROJ": "1"},
+    "attnabs_out_fff_pad": {"DMOE_ATTN_ABSORB": "out", "DMOE_FF_FUSED": "1",
+                            "DMOE_PAD_PROJ": "1"},
 }
 # bench.py defaults DMOE_FF_FUSED=1 since r5; every quality mode pins the
 # knob so a row measures exactly the config its bench twin measured

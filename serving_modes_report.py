@@ -49,6 +49,8 @@ TIER = {
     "attnabs_pad": "exact-tier (rounding-scale)",
     "attnabs_fff_pad": "exact-tier (rounding-scale)",
     "dc3_attnabs_fff_pad": "approx (DeepCache)",
+    "attnabs_qkv_fff_pad": "exact-tier (rounding-scale)",
+    "attnabs_out_fff_pad": "exact-tier (rounding-scale)",
 }
 PEAK_BF16 = 197e12   # v5e
 # the legs the round is judged on (driver headline config + best exact-tier
