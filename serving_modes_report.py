@@ -30,7 +30,7 @@ EXACT = {"plain", "plain16", "pad_proj", "pad16", "int8_pad"}
 # floor): the winograd-fused, fused-FF (erf approximation + absorbed-LN fold
 # order) and fused-chain (GN fold order + tap order) kernels all live here.
 TIER = {
-    "plain": "exact (headline)", "plain16": "exact", "pad_proj": "exact",
+    "plain": "exact", "plain16": "exact", "pad_proj": "exact",
     "pad16": "exact", "int8": "approx (W8A8)", "int8_pad": "approx (W8A8)",
     "wino2": "exact-tier (rounding-scale)", "wino2_pad":
     "exact-tier (rounding-scale)", "winof": "exact-tier (rounding-scale)",
@@ -38,7 +38,7 @@ TIER = {
     "dc3": "approx (DeepCache)", "dc3_int8": "approx", "dc3_wino": "approx",
     "dc3_pad": "approx", "dc3_serve": "approx", "dc3_winof_pad": "approx",
     "fff": "exact-tier (rounding-scale)",
-    "fff_pad": "exact-tier (rounding-scale)",
+    "fff_pad": "exact-tier (rounding-scale; HEADLINE since r5)",
     "dc3_fff_pad": "approx (DeepCache)",
     "chain_pad": "exact-tier (rounding-scale)",
     "chain16_pad": "exact-tier (rounding-scale)",
